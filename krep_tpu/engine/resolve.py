@@ -1,0 +1,68 @@
+"""Resolution: dense masks → reference-exact match lists/counts.
+
+The reference repeats a postlude in every kernel (whole-word filter, -c line
+dedup, -m early exit, position tracking — SURVEY.md §3.4). Here it is ONE
+stage, applied to sparse positions extracted from the device mask. Hot parts
+(greedy non-overlap, line-id attribution) are vectorized numpy now and move
+to the C runtime extension (krep_tpu/native/) as corpora grow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import MatchPolicy
+
+try:  # optional C fast path (krep_tpu/native/)
+    from ..native import runtime as _native
+except Exception:  # pragma: no cover - extension not built
+    _native = None
+
+
+def unpack_mask_host(packed: np.ndarray, n: int) -> np.ndarray:
+    """packed uint8 bitmask → sorted positions of set bits."""
+    bits = np.unpackbits(np.asarray(packed, dtype=np.uint8), bitorder="little")
+    return np.flatnonzero(bits[:n])
+
+
+def greedy_nonoverlap(starts: np.ndarray, m: int) -> np.ndarray:
+    """Greedy left-to-right non-overlapping selection from sorted all-starts.
+
+    Equivalent to the advance-by-pattern_len loops in KMP (krep.c:1741),
+    BMH -o (krep.c:1371-1374), SSE4.2 default (krep.c:4837-4848).
+    """
+    if len(starts) == 0:
+        return starts
+    if _native is not None:
+        return _native.greedy_nonoverlap(np.ascontiguousarray(starts, np.int64), m)
+    keep = []
+    next_ok = -1
+    # Python loop fallback; replaced by C for large inputs.
+    for s in starts:
+        if s >= next_ok:
+            keep.append(s)
+            next_ok = s + m
+    return np.asarray(keep, dtype=starts.dtype)
+
+
+def apply_policy(starts: np.ndarray, m: int, policy: MatchPolicy) -> np.ndarray:
+    if policy is MatchPolicy.ALL:
+        return starts
+    return greedy_nonoverlap(starts, m)
+
+
+def truncate_max_count(arr: np.ndarray, max_count: int | None) -> np.ndarray:
+    if max_count is None:
+        return arr
+    return arr[:max_count]
+
+
+def line_ids(starts: np.ndarray, newline_positions: np.ndarray) -> np.ndarray:
+    """0-based line index for each match start (line = # newlines before it).
+    Mirrors the binary-search line numbering at krep.c:621-653."""
+    return np.searchsorted(newline_positions, starts, side="left")
+
+
+def newline_positions_host(text: bytes | np.ndarray) -> np.ndarray:
+    buf = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray, memoryview)) else text
+    return np.flatnonzero(buf == 10)

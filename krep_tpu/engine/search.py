@@ -1,0 +1,136 @@
+"""search_string / search_file orchestration.
+
+The TPU analogue of the reference's L3 engine (krep.c:1999-2272 search_string,
+krep.c:2274-3066 search_file): stage bytes to the device, run the fused scan,
+resolve masks to reference-exact counts/positions.
+
+Unlike the reference there is no chunk scheduler here — the Pallas grid *is*
+the chunking (sequential on a TensorCore with carries in SMEM), and multi-
+device sharding lives in krep_tpu/parallel/. Counting is exact at shard
+boundaries (fixes the caveat at krep.c:2952).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..params import Algorithm, MatchPolicy, SearchParams
+from . import resolve
+from .select import Selection, select_algorithm
+
+
+@dataclass
+class SearchResult:
+    """What krep reports for one text: a count plus tracked positions.
+
+    `count` is mode-dependent, mirroring the kernel return contract
+    (krep.h:98-101): matched-line count in -c mode, match count otherwise.
+    positions is an (k, 2) int64 array of (start, end) byte offsets, sorted
+    by (start, end) like the merge qsort at krep.c:3020-3023 / 420-434.
+    """
+
+    count: int
+    positions: np.ndarray  # (k, 2) int64
+    text_len: int
+    error: bool = False
+
+    @property
+    def matched(self) -> bool:
+        return self.count > 0
+
+
+_EMPTY_POS = np.zeros((0, 2), dtype=np.int64)
+
+
+def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
+    """Run the fused device scan; returns (all_count, line_count, starts)."""
+    from ..ops import dispatch
+
+    count, lines, packed = dispatch.scan_literal_auto(
+        text_arr,
+        true_len,
+        pattern=pattern,
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        want_mask=want_mask,
+    )
+    starts = None
+    if want_mask:
+        starts = resolve.unpack_mask_host(np.asarray(packed), true_len)
+    return int(count), int(lines), starts
+
+
+def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+    from ..ops import dispatch
+
+    m = len(params.pattern)
+    n = len(text)
+    if m == 0 or n < m:
+        return SearchResult(0, _EMPTY_POS, n)
+
+    policy = sel.policy(params.only_matching)
+    max_count = params.max_count
+
+    text_arr, true_len = dispatch.stage_text(text)
+
+    if params.count_lines_mode:
+        # -c: distinct matched lines, capped by -m (krep.c:1331-1351).
+        _, lines, _ = _device_scan_literal(text_arr, true_len, params.pattern, params, want_mask=False)
+        count = min(lines, max_count) if max_count is not None else lines
+        return SearchResult(count, _EMPTY_POS, n)
+
+    need_positions = params.track_positions and not params.count_matches_mode
+    want_mask = need_positions or policy is not MatchPolicy.ALL
+    all_count, _, starts = _device_scan_literal(
+        text_arr, true_len, params.pattern, params, want_mask=want_mask
+    )
+
+    if policy is MatchPolicy.ALL and not need_positions:
+        count = min(all_count, max_count) if max_count is not None else all_count
+        return SearchResult(count, _EMPTY_POS, n)
+
+    starts = resolve.apply_policy(starts, m, policy)
+    starts = resolve.truncate_max_count(starts, max_count)
+    positions = np.stack([starts, starts + m], axis=1).astype(np.int64)
+    return SearchResult(len(starts), positions, n)
+
+
+def _search_multi_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+    from ..ops import multi
+
+    return multi.search_multi(params, text)
+
+
+def _search_regex(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+    from . import regex_engine
+
+    return regex_engine.search_regex(params, text)
+
+
+def search_string(params: SearchParams, text: bytes) -> SearchResult:
+    """Mirror of search_string (krep.c:1999-2246): single-shot search of an
+    in-memory byte string."""
+    if isinstance(text, str):
+        text = text.encode()
+
+    sel = select_algorithm(params)
+    if sel.algorithm is Algorithm.REGEX:
+        return _search_regex(params, text, sel)
+    if sel.algorithm is Algorithm.AHO_CORASICK:
+        return _search_multi_literal(params, text, sel)
+    return _search_single_literal(params, text, sel)
+
+
+def search_file(params: SearchParams, path: str, threads: int | None = None) -> SearchResult:
+    """Mirror of search_file (krep.c:2274-3066). `threads` is accepted for
+    CLI compatibility (-t); device sharding replaces the thread pool."""
+    if path == "-":
+        data = sys.stdin.buffer.read()
+        return search_string(params, data)
+    from ..io import files
+
+    data = files.read_bytes(path)
+    return search_string(params, data)

@@ -1,0 +1,132 @@
+"""Multi-pattern literal search (the Aho-Corasick capability).
+
+For small pattern sets the TPU-natural formulation is NOT a sequential DFA
+walk (aho_corasick.c:299-466, one gather per byte) but a fused K-pattern
+dense scan: the text streams through VMEM once and K all-starts masks are
+computed in the same pass. This reproduces AC semantics exactly — the
+reference's own tests assert AC count == Σ per-pattern BMH(ALL) counts
+(test_multiple_patterns.c:345-471).
+
+Emission order matters for -m truncation: AC emits by END position as it
+walks the text, and within one end position by descending pattern length
+(output chain walks from the deepest node via fail links,
+aho_corasick.c:352-431). We therefore truncate in (end asc, start asc)
+order, then re-sort by (start, end) like the final qsort (krep.c:3020-3023).
+
+Large pattern sets (K > FUSED_MAX) fall back to the dense-DFA device path in
+ops/dfa.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import SearchParams
+from . import dispatch, literal
+
+FUSED_MAX = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patterns", "case_sensitive", "whole_word", "want_masks"),
+)
+def scan_multi(
+    text_arr,
+    true_len,
+    *,
+    patterns: tuple[bytes, ...],
+    case_sensitive: bool,
+    whole_word: bool,
+    want_masks: bool,
+):
+    """Fused K-pattern scan. Returns (total_count, matched_line_count,
+    tuple_of_packed_masks)."""
+    masks = []
+    total = jnp.int64(0) if False else jnp.int32(0)
+    any_mask = jnp.zeros((text_arr.shape[0],), dtype=jnp.bool_)
+    for p in patterns:
+        m = literal.all_starts_mask(
+            text_arr,
+            p,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word,
+            true_len=true_len,
+        )
+        masks.append(m)
+        total = total + jnp.sum(m.astype(jnp.int32))
+        any_mask = any_mask | m
+    lines = literal.matched_line_count(any_mask, text_arr)
+    if want_masks:
+        packed = tuple(literal.pack_mask(m) for m in masks)
+    else:
+        nb = (text_arr.shape[0] + 7) // 8
+        packed = tuple(jnp.zeros((nb,), jnp.uint8) for _ in patterns)
+    return total, lines, packed
+
+
+def search_multi(params: SearchParams, text) -> "SearchResult":
+    from ..engine import resolve
+    from ..engine.search import SearchResult, _EMPTY_POS
+
+    n = len(text)
+    patterns = tuple(p for p in params.patterns if len(p) > 0)
+    if not patterns or n == 0:
+        return SearchResult(0, _EMPTY_POS, n)
+    if len(patterns) > FUSED_MAX:
+        from . import dfa
+
+        return dfa.search_dfa(params, text)
+
+    text_arr, true_len = dispatch.stage_text(text)
+    max_count = params.max_count
+
+    if params.count_lines_mode:
+        _, lines, _ = scan_multi(
+            text_arr,
+            true_len,
+            patterns=patterns,
+            case_sensitive=params.case_sensitive,
+            whole_word=params.whole_word,
+            want_masks=False,
+        )
+        lines = int(lines)
+        count = min(lines, max_count) if max_count is not None else lines
+        return SearchResult(count, _EMPTY_POS, n)
+
+    need_positions = params.track_positions and not params.count_matches_mode
+    want_masks = need_positions or max_count is not None
+    total, _, packed = scan_multi(
+        text_arr,
+        true_len,
+        patterns=patterns,
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        want_masks=want_masks,
+    )
+
+    if not want_masks:
+        return SearchResult(int(total), _EMPTY_POS, n)
+
+    starts_list, ends_list = [], []
+    for p, pk in zip(patterns, packed):
+        s = resolve.unpack_mask_host(np.asarray(pk), n)
+        starts_list.append(s)
+        ends_list.append(s + len(p))
+    starts = np.concatenate(starts_list)
+    ends = np.concatenate(ends_list)
+
+    # Truncate in AC emission order: (end asc, start asc).
+    order = np.lexsort((starts, ends))
+    starts, ends = starts[order], ends[order]
+    if max_count is not None:
+        starts, ends = starts[:max_count], ends[:max_count]
+
+    # Final presentation order: (start asc, end asc) — krep.c:420-434.
+    order = np.lexsort((ends, starts))
+    positions = np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    return SearchResult(len(positions), positions, n)

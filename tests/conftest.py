@@ -1,0 +1,13 @@
+"""Test env: force CPU backend with 8 virtual devices so sharding tests run
+without TPU hardware, per the multi-chip dry-run contract. Must run before
+jax is imported anywhere."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("KREP_TPU_BACKEND", "xla")

@@ -1,0 +1,171 @@
+"""End-to-end count parity vs the reference binary (built from
+/root/reference). These are the golden tests of SURVEY.md §7 step 1: counts
+must be byte-exact with krep across modes, overlap corners, and pattern
+lengths at every delegation boundary."""
+
+import numpy as np
+import pytest
+
+import naive
+import oracle
+from krep_tpu import SearchParams, search_string
+
+pytestmark = pytest.mark.skipif(
+    oracle.ensure_oracle() is None, reason="reference oracle unavailable"
+)
+
+
+def oracle_match_count(text: bytes, args: list[str]) -> int:
+    out, rc = oracle.run_on_text(text, ["-c", "-o", *args])
+    assert rc in (0, 1)
+    return oracle.count_from_output(out)
+
+
+def oracle_line_count(text: bytes, args: list[str]) -> int:
+    out, rc = oracle.run_on_text(text, ["-c", *args])
+    assert rc in (0, 1)
+    return oracle.count_from_output(out)
+
+
+CORPora = [naive.gen_english(s, 20_000) for s in range(3)]
+
+# Pattern lengths at every selection/delegation boundary on this machine's
+# build (AVX512 profile): 1 / 2-3 / 4-16 / 17-32 / 33-64 / >64.
+PATTERNS = [
+    b"e",
+    b"th",
+    b"the",
+    b"aaa",
+    b"aba",
+    b"quick",
+    b"Sherlock",
+    b"a" * 5,
+    b"the quick brown fox jumps",          # 25 → avx2
+    b"the quick brown fox jumps over laz",  # 34 → avx512
+    b"the quick brown fox jumps over lazy dog Sherlock Holmes watson el",  # 66 → bmh
+]
+
+
+@pytest.mark.parametrize("pat", PATTERNS)
+def test_match_count_parity(pat):
+    for text in CORPora:
+        p = SearchParams(patterns=(pat,), only_matching=True, count_mode=True)
+        got = search_string(p, text).count
+        want = oracle_match_count(text, [pat.decode()])
+        assert got == want, pat
+
+
+@pytest.mark.parametrize("pat", PATTERNS)
+def test_line_count_parity(pat):
+    for text in CORPora:
+        p = SearchParams(patterns=(pat,), count_mode=True)
+        got = search_string(p, text).count
+        want = oracle_line_count(text, [pat.decode()])
+        assert got == want, pat
+
+
+@pytest.mark.parametrize("pat", [b"the", b"THE", b"The", b"sherlock"])
+def test_case_insensitive_parity(pat):
+    for text in CORPora[:2]:
+        p = SearchParams(
+            patterns=(pat,), case_sensitive=False, only_matching=True, count_mode=True
+        )
+        got = search_string(p, text).count
+        want = oracle_match_count(text, ["-i", pat.decode()])
+        assert got == want
+
+        p2 = SearchParams(patterns=(pat,), case_sensitive=False, count_mode=True)
+        got2 = search_string(p2, text).count
+        want2 = oracle_line_count(text, ["-i", pat.decode()])
+        assert got2 == want2
+
+
+@pytest.mark.parametrize("pat", [b"the", b"fox", b"dog", b"x"])
+def test_whole_word_parity(pat):
+    for text in CORPora[:2]:
+        p = SearchParams(
+            patterns=(pat,), whole_word=True, only_matching=True, count_mode=True
+        )
+        got = search_string(p, text).count
+        want = oracle_match_count(text, ["-w", pat.decode()])
+        assert got == want
+
+
+def test_overlap_semantics_pinned():
+    """The reference's own pinned overlap table (test_krep.c:443-477)."""
+    # auto on this build = sse42 for len 2-3: default NONOVERLAP, -o ALL
+    p_def = SearchParams(patterns=(b"aba",), count_mode=True, only_matching=True)
+    assert search_string(p_def, b"abababa").count == oracle_match_count(
+        b"abababa", ["aba"]
+    )
+    # --algo bm: default ALL → -c -o … wait, -c -o counts with -o policy
+    for algo, pat, text in [
+        ("bm", "aba", b"abababa"),
+        ("kmp", "aba", b"abababa"),
+        ("bm", "aa", b"aaaaa"),
+        ("kmp", "aa", b"aaaaa"),
+    ]:
+        p = SearchParams(
+            patterns=(pat.encode(),), count_mode=True, only_matching=True,
+            algo_override=algo,
+        )
+        got = search_string(p, text).count
+        want = oracle_match_count(text, ["--algo", algo, pat])
+        assert got == want, (algo, pat)
+
+
+@pytest.mark.parametrize("mc", [0, 1, 2, 3, 5, 1000])
+def test_max_count_parity(mc):
+    text = CORPora[0]
+    p = SearchParams(
+        patterns=(b"the",), only_matching=True, count_mode=True, max_count=mc
+    )
+    got = search_string(p, text).count
+    want = oracle_match_count(text, ["-m", str(mc)])
+    # oracle needs the pattern arg ordering: -m NUM PATTERN
+    out, rc = oracle.run_on_text(text, ["-c", "-o", "-m", str(mc), "the"])
+    want = oracle.count_from_output(out)
+    assert got == want, mc
+
+    p2 = SearchParams(patterns=(b"the",), count_mode=True, max_count=mc)
+    got2 = search_string(p2, text).count
+    out2, rc2 = oracle.run_on_text(text, ["-c", "-m", str(mc), "the"])
+    want2 = oracle.count_from_output(out2)
+    assert got2 == want2, mc
+
+
+def test_multi_pattern_parity():
+    text = CORPora[0]
+    pats = ["the", "fox", "Sherlock", "og"]
+    args = []
+    for q in pats:
+        args += ["-e", q]
+    p = SearchParams(
+        patterns=tuple(q.encode() for q in pats), only_matching=True, count_mode=True
+    )
+    got = search_string(p, text).count
+    out, rc = oracle.run_on_text(text, ["-c", "-o", *args])
+    assert got == oracle.count_from_output(out)
+
+    p2 = SearchParams(patterns=tuple(q.encode() for q in pats), count_mode=True)
+    got2 = search_string(p2, text).count
+    out2, _ = oracle.run_on_text(text, ["-c", *args])
+    assert got2 == oracle.count_from_output(out2)
+
+
+def test_classic_ushers():
+    """he/she/his/hers in 'ushers' → 3 (test_multiple_patterns.c:57-104)."""
+    p = SearchParams(
+        patterns=(b"he", b"she", b"his", b"hers"), only_matching=True, count_mode=True
+    )
+    assert search_string(p, b"ushers").count == 3
+
+
+def test_overlapping_pattern_set():
+    """a,b,c,ab,bc,abc in 'abc' → 6 (test_multiple_patterns.c:185-228)."""
+    p = SearchParams(
+        patterns=(b"a", b"b", b"c", b"ab", b"bc", b"abc"),
+        only_matching=True,
+        count_mode=True,
+    )
+    assert search_string(p, b"abc").count == 6
