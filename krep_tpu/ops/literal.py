@@ -127,6 +127,39 @@ def matched_line_count(mask: jax.Array, text: jax.Array) -> jax.Array:
     return jnp.sum(first_in_line.astype(jnp.int32))
 
 
+def shard_line_stats(mask: jax.Array, text: jax.Array):
+    """Per-shard line-accounting stats for exact cross-shard merging.
+
+    Returns (local_first_in_line_count, lead, trail, any_match, has_nl):
+      lead  — ≥1 match in the leading segment (before the first in-shard \\n)
+      trail — ≥1 match strictly after the last in-shard \\n
+    The combiner in krep_tpu/parallel/mesh.py uses these to count lines
+    spanning shard boundaries exactly once — the reference's acknowledged
+    boundary caveat (krep.c:2952) fixed while preserving 1-thread parity.
+    """
+    n = text.shape[0]
+    it = jnp.int32
+    idx = jnp.arange(n, dtype=it)
+
+    nl = text == NEWLINE
+    nl_mark = jnp.where(nl, idx + 1, 0)
+    line_start = jnp.concatenate([jnp.zeros((1,), it), jax.lax.cummax(nl_mark)[:-1]])
+    m_mark = jnp.where(mask, idx + 1, 0)
+    last_match_before = jnp.concatenate(
+        [jnp.zeros((1,), it), jax.lax.cummax(m_mark)[:-1]]
+    )
+    first_in_line = mask & (last_match_before <= line_start)
+    count = jnp.sum(first_in_line.astype(jnp.int32))
+
+    m_total = jnp.max(m_mark)
+    nl_total = jnp.max(nl_mark)
+    any_match = m_total > 0
+    has_nl = nl_total > 0
+    lead = jnp.any(mask & (line_start == 0))
+    trail = any_match & (m_total > nl_total)
+    return count, lead, trail, any_match, has_nl
+
+
 def pack_mask(mask: jax.Array) -> jax.Array:
     """Bit-pack a bool mask to uint8, little-endian within each byte, for a
     cheap device→host transfer (the analogue of the per-thread

@@ -1,0 +1,154 @@
+"""Multi-chip sharded byte scan.
+
+The TPU-native replacement for the reference's pthread chunk scheduler
+(krep.c:2274-3066): the byte stream is split into D contiguous shards, each
+extended by an (m-1)-byte halo — the analogue of the chunk overlap at
+krep.c:2837-2846 — laid out host-side as a (D, shard+halo) slab and scanned
+under `shard_map` over a 1-D Mesh('data'). Match counts reduce with `psum`;
+line accounting returns per-shard stats that a tiny host combiner merges
+*exactly* across shard boundaries (the reference's per-chunk line counts
+"might be slightly off at boundaries", krep.c:2952 — this design is exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import literal
+
+HALO_PAD = 1024  # max supported pattern overlap (MAX_PATTERN_LENGTH)
+
+
+def build_shards(data: np.ndarray, n_shards: int, halo: int) -> tuple[np.ndarray, int]:
+    """Host-side overlapping shard slab: (D, S+halo) uint8, zero-padded."""
+    n = data.shape[0]
+    shard = -(-n // n_shards)  # cdiv
+    # pad so every shard row (incl. halo read past the end) is in bounds
+    padded = np.zeros(n_shards * shard + halo, dtype=np.uint8)
+    padded[:n] = data
+    rows = np.lib.stride_tricks.sliding_window_view(padded, shard + halo)[
+        :: shard if shard > 0 else 1
+    ][:n_shards]
+    return np.ascontiguousarray(rows), shard
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "case_sensitive", "whole_word", "mesh"),
+)
+def _sharded_stats(slab, shard_len, true_len, *, pattern, case_sensitive, whole_word, mesh):
+    """slab: (D, S+halo) uint8 sharded over 'data'. Returns per-shard
+    (all_count, line_count_local, lead, trail, any, has_nl) stacked (D,)."""
+
+    def per_shard(block, shard_len, true_len):
+        block = block[0]  # (S+halo,)
+        d = jax.lax.axis_index("data")
+        base = d.astype(jnp.int32) * shard_len
+        # starts owned by this shard: [0, shard_len) ∩ [0, true_len - m]
+        limit = jnp.minimum(shard_len, true_len - base)
+        mask = literal.all_starts_mask(
+            block,
+            pattern,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word,
+            true_len=jnp.maximum(true_len - base, 0),
+        )
+        idx = jnp.arange(block.shape[0], dtype=jnp.int32)
+        mask = mask & (idx < limit)
+        all_count = jnp.sum(mask.astype(jnp.int32))
+        # restrict line stats to the owned region (halo bytes belong to the
+        # next shard's accounting)
+        owned = jnp.where(idx < limit, block, jnp.uint8(0))
+        cnt, lead, trail, anym, hasnl = literal.shard_line_stats(mask, owned)
+        total = jax.lax.psum(all_count, "data")
+        return (
+            total[None],
+            cnt[None],
+            lead[None],
+            trail[None],
+            anym[None],
+            hasnl[None],
+        )
+
+    from jax import shard_map
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P()),
+        out_specs=(P("data"),) * 6,
+    )
+    return f(slab, shard_len, true_len)
+
+
+def combine_line_counts(local_counts, leads, trails, anys, has_nls) -> int:
+    """Exact cross-shard line-count merge (see shard_line_stats)."""
+    total = 0
+    open_match = False  # line open at shard start already has a match
+    for c, lead, trail, anym, hasnl in zip(local_counts, leads, trails, anys, has_nls):
+        c = int(c)
+        total += c
+        if open_match and bool(lead):
+            total -= 1  # the boundary-spanning line was already counted
+        if bool(hasnl):
+            open_match = bool(trail)
+        else:
+            open_match = open_match or bool(anym)
+    return total
+
+
+def sharded_counts(
+    data: np.ndarray,
+    pattern: bytes,
+    *,
+    case_sensitive=True,
+    whole_word=False,
+    mesh: Mesh | None = None,
+):
+    """Scan bytes across all devices; returns (match_count, line_count)."""
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("data",))
+    D = mesh.devices.size
+    halo = max(len(pattern), 2)
+    slab_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
+    slab = jax.device_put(
+        slab_np, jax.sharding.NamedSharding(mesh, P("data", None))
+    )
+    out = _sharded_stats(
+        slab,
+        jnp.int32(shard),
+        jnp.int32(len(data)),
+        pattern=pattern,
+        case_sensitive=case_sensitive,
+        whole_word=whole_word,
+        mesh=mesh,
+    )
+    total, cnts, leads, trails, anys, hasnls = map(np.asarray, out)
+    lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
+    return int(total[0]), int(lines)
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver contract: jit + run one sharded scan step on tiny shapes over
+    an n-device mesh, and check it against the single-array path."""
+    devs = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(0)
+    data = np.frombuffer(
+        b"the quick\nthe fox\n" * 64 + rng.bytes(512), dtype=np.uint8
+    )
+    mc, lc = sharded_counts(np.asarray(data), b"the", mesh=mesh)
+
+    # single-device reference
+    from ..ops import dispatch
+
+    arr, n = dispatch.stage_text(data.tobytes())
+    c, l, _ = literal.scan_literal(arr, n, pattern=b"the", want_mask=False)
+    assert mc == int(c), (mc, int(c))
+    assert lc == int(l), (lc, int(l))

@@ -11,3 +11,9 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("KREP_TPU_BACKEND", "xla")
+
+# The session env pins JAX_PLATFORMS=axon (real TPU tunnel); the config
+# update is what actually wins over that for the test process.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
