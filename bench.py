@@ -70,26 +70,39 @@ def main():
     params = SearchParams(patterns=(PATTERN,), count_mode=True)
 
     # Stage once (text resident in HBM — the analogue of the reference's
-    # warm page cache), then time the device scan.
+    # warm page cache), then time the device scan. Timing is chained with a
+    # single final sync: the tunnel RTT (~25 ms on axon) would otherwise
+    # dominate, and block_until_ready does not reliably sync there.
+    import jax.numpy as jnp
+
     text_arr, true_len = dispatch.stage_text(data)
 
-    def run():
-        count, lines, _ = dispatch.scan_literal_auto(
-            text_arr,
-            true_len,
-            pattern=PATTERN,
-            case_sensitive=True,
-            whole_word=False,
-            want_mask=False,
-        )
-        return int(lines)  # forces a real device sync (axon block_until_ready is unreliable)
+    def run_chain(k):
+        outs = []
+        for _ in range(k):
+            count, lines, _ = dispatch.scan_literal_auto(
+                text_arr,
+                true_len,
+                pattern=PATTERN,
+                case_sensitive=True,
+                whole_word=False,
+                want_mask=False,
+            )
+            outs.append(lines)
+        stacked = jnp.stack(outs)
+        return int(stacked[0]), int(jnp.sum(stacked))  # one sync
 
-    lines = run()  # compile + warm
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        lines = run()
-    dt = (time.perf_counter() - t0) / iters
+    lines, _ = run_chain(1)  # compile + warm
+
+    def timed(k):
+        t0 = time.perf_counter()
+        run_chain(k)
+        return time.perf_counter() - t0
+
+    K = 9
+    t1 = min(timed(1) for _ in range(3))
+    tK = min(timed(K) for _ in range(3))
+    dt = max((tK - t1) / (K - 1), 1e-9)
     gbps = n / dt / 1e9
 
     # parity check vs reference binary if present

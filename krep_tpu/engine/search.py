@@ -49,7 +49,7 @@ def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
     """Run the fused device scan; returns (all_count, line_count, starts)."""
     from ..ops import dispatch
 
-    count, lines, packed = dispatch.scan_literal_auto(
+    count, lines, mask = dispatch.scan_literal_auto(
         text_arr,
         true_len,
         pattern=pattern,
@@ -59,7 +59,8 @@ def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
     )
     starts = None
     if want_mask:
-        starts = resolve.unpack_mask_host(np.asarray(packed), true_len)
+        n = int(true_len)
+        starts = np.flatnonzero(np.asarray(mask)[:n])
     return int(count), int(lines), starts
 
 

@@ -53,8 +53,7 @@ def search_dfa(params: SearchParams, text) -> "SearchResult":
                 whole_word=params.whole_word, want_masks=True,
             )
             for pk in packed:
-                bits = np.unpackbits(np.asarray(pk), bitorder="little")[:n]
-                union |= bits.astype(bool)
+                union |= np.asarray(pk)[:n].astype(bool)
         nl = resolve.newline_positions_host(text)
         starts = np.flatnonzero(union)
         lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
@@ -70,7 +69,7 @@ def search_dfa(params: SearchParams, text) -> "SearchResult":
         total += int(t)
         if want_masks:
             for p, pk in zip(g, packed):
-                s = resolve.unpack_mask_host(np.asarray(pk), n)
+                s = np.flatnonzero(np.asarray(pk)[:n])
                 all_starts.append(s)
                 all_ends.append(s + len(p))
 

@@ -18,23 +18,34 @@ import numpy as np
 
 from . import literal
 
-_MIN_BUCKET = 1024
+# Staged layout contract (shared by the XLA and Pallas backends):
+#   total bytes = 128 * (R + HALO_ROWS) where R is a row bucket
+#   (power-of-two or 1.5x power-of-two, min TILE_ROWS) and the trailing
+#   HALO_ROWS*128 bytes are zero. R is always a multiple of TILE_ROWS.
+TILE_ROWS = 512        # 64 KiB tiles through VMEM
+HALO_ROWS = 16         # 2 KiB forward halo: covers shifts up to 2047 bytes
+LANES = 128
 
 
-def bucket_size(n: int) -> int:
-    """Smallest bucket ≥ n: powers of two with a midpoint (1x, 1.5x)."""
-    if n <= _MIN_BUCKET:
-        return _MIN_BUCKET
-    p = 1 << (int(n - 1).bit_length())
-    half = p // 2 + p // 4 * 2  # = 1.5 * (p//2); p/2 < n <= p
+def row_bucket(rows: int) -> int:
+    """Smallest row bucket ≥ rows from {512, 1024, 1536, 2048, 3072, ...}:
+    powers of two plus midpoints, all multiples of TILE_ROWS."""
+    if rows <= TILE_ROWS:
+        return TILE_ROWS
+    p = 1 << int(rows - 1).bit_length()
     mid = (p // 2) * 3 // 2
-    if n <= mid:
+    if rows <= mid and mid % TILE_ROWS == 0:
         return mid
     return p
 
 
+def bucket_size(n: int) -> int:
+    rows = -(-n // LANES)
+    return LANES * (row_bucket(rows) + HALO_ROWS)
+
+
 def stage_text(text: bytes | np.ndarray):
-    """bytes → (device uint8 array padded to a bucket, true_len int32)."""
+    """bytes → (device uint8 array in the staged layout, true_len int32)."""
     buf = (
         np.frombuffer(text, dtype=np.uint8)
         if isinstance(text, (bytes, bytearray, memoryview))
@@ -42,11 +53,9 @@ def stage_text(text: bytes | np.ndarray):
     )
     n = buf.shape[0]
     b = bucket_size(n)
-    if b != n:
-        padded = np.zeros(b, dtype=np.uint8)
-        padded[:n] = buf
-        buf = padded
-    arr = jax.device_put(buf)
+    padded = np.zeros(b, dtype=np.uint8)
+    padded[:n] = buf
+    arr = jax.device_put(padded)
     return arr, jnp.int32(n)
 
 

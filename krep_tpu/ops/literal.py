@@ -184,10 +184,10 @@ def scan_literal(
     whole_word: bool = False,
     want_mask: bool = True,
 ):
-    """One fused scan: returns (match_count, matched_line_count, packed_mask).
+    """One fused scan: returns (match_count, matched_line_count, mask_u8).
 
-    packed_mask is all-zeros shaped (ceil(n/8),) when want_mask=False (XLA
-    dead-code-eliminates the packing work in that case).
+    mask_u8 is one byte per text position (1 = match starts here); a (128,)
+    zero placeholder when want_mask=False.
     """
     mask = all_starts_mask(
         text,
@@ -199,10 +199,10 @@ def scan_literal(
     count = jnp.sum(mask.astype(jnp.int32))
     lines = matched_line_count(mask, text)
     if want_mask:
-        packed = pack_mask(mask)
+        out_mask = mask.astype(jnp.uint8)
     else:
-        packed = jnp.zeros(((text.shape[0] + 7) // 8,), dtype=jnp.uint8)
-    return count, lines, packed
+        out_mask = jnp.zeros((128,), dtype=jnp.uint8)
+    return count, lines, out_mask
 
 
 def unpack_mask_host(packed: np.ndarray, n: int) -> np.ndarray:

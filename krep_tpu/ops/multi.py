@@ -62,11 +62,10 @@ def scan_multi(
         any_mask = any_mask | m
     lines = literal.matched_line_count(any_mask, text_arr)
     if want_masks:
-        packed = tuple(literal.pack_mask(m) for m in masks)
+        out_masks = tuple(m.astype(jnp.uint8) for m in masks)
     else:
-        nb = (text_arr.shape[0] + 7) // 8
-        packed = tuple(jnp.zeros((nb,), jnp.uint8) for _ in patterns)
-    return total, lines, packed
+        out_masks = tuple(jnp.zeros((128,), jnp.uint8) for _ in patterns)
+    return total, lines, out_masks
 
 
 def search_multi(params: SearchParams, text) -> "SearchResult":
@@ -114,7 +113,7 @@ def search_multi(params: SearchParams, text) -> "SearchResult":
 
     starts_list, ends_list = [], []
     for p, pk in zip(patterns, packed):
-        s = resolve.unpack_mask_host(np.asarray(pk), n)
+        s = np.flatnonzero(np.asarray(pk)[:n])
         starts_list.append(s)
         ends_list.append(s + len(p))
     starts = np.concatenate(starts_list)

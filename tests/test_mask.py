@@ -79,10 +79,8 @@ def test_pack_unpack_roundtrip():
 def test_scan_literal_fused():
     text = naive.gen_corpus(1, 8192)
     arr, n = dispatch.stage_text(text)
-    count, lines, packed = literal.scan_literal(arr, n, pattern=b"the")
+    count, lines, mask = literal.scan_literal(arr, n, pattern=b"the")
     starts = naive.all_starts(text, b"the")
     assert int(count) == len(starts)
     assert int(lines) == naive.matched_lines(text, starts)
-    from krep_tpu.engine import resolve
-
-    assert resolve.unpack_mask_host(np.asarray(packed), len(text)).tolist() == starts
+    assert np.flatnonzero(np.asarray(mask)[: len(text)]).tolist() == starts
