@@ -1,0 +1,262 @@
+"""krep-compatible CLI (mirror of main/getopt at krep.c:3447-3888).
+
+Usage mirrors the reference:
+  krep [OPTIONS] PATTERN [FILE | DIRECTORY]
+  krep [OPTIONS] -e PATTERN [-e PATTERN...] [FILE | DIRECTORY]
+  krep [OPTIONS] -f FILE [FILE | DIRECTORY]
+  krep [OPTIONS] -s PATTERN STRING_TO_SEARCH
+  krep [OPTIONS] PATTERN < FILE
+
+Exit codes: 0 match / 1 no match / 2 error (krep.c:1181-1184).
+Option scanning stops at the first positional, like the reference's
+"+"-prefixed optstring.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+
+from . import __version__
+from .params import SearchParams
+from .output import printer
+
+SHORT_OPTS = "ie:f:cm:oEFrt:s:vhw"
+LONG_OPTS = [
+    "color=",
+    "no-simd",
+    "fixed-strings",
+    "max-count=",
+    "gitignore",
+    "algo=",
+    "help",
+    "version",
+]
+
+USAGE = f"""krep-tpu v{__version__}
+TPU-native byte-scan engine with krep-compatible output.
+
+Usage
+  krep [OPTIONS] PATTERN [FILE | DIRECTORY]
+  krep [OPTIONS] -e PATTERN [-e PATTERN...] [FILE | DIRECTORY]
+  krep [OPTIONS] -f FILE [FILE | DIRECTORY]
+  krep [OPTIONS] -s PATTERN STRING_TO_SEARCH
+  krep [OPTIONS] PATTERN < FILE
+
+Search
+  -i             Case-insensitive matching.
+  -e PATTERN     Specify pattern (repeatable).
+  -f FILE        Read patterns from FILE ('-' = stdin).
+  -E             POSIX Extended Regular Expressions.
+  -F             Fixed strings (default unless -E).
+  -w             Match whole words only.
+
+Scope & Performance
+  -r             Search directories recursively.
+  --gitignore    Respect .gitignore with -r.
+  --algo=ALGO    Force algorithm semantics: auto (default), bm, kmp.
+  -t NUM         Thread count (accepted for compatibility; the device
+                 grid replaces the thread pool).
+  --no-simd      Emulate the reference's scalar selection semantics.
+
+Output & UX
+  -o             Print only matching parts.
+  -c             Print only match counts.
+  -m NUM         Stop after NUM matches/lines per file.
+  -s PATTERN     Search in STRING_TO_SEARCH.
+  --color[=WHEN] always | never | auto (default).
+  -v             Version info.
+  -h, --help     This help.
+
+Exit: 0 match, 1 no match, 2 error.
+"""
+
+
+def _err(msg: str) -> int:
+    sys.stderr.write(f"krep: {msg}\n")
+    return 2
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out = out if out is not None else sys.stdout.buffer
+    # --color with no argument means always (getopt_long optional_argument)
+    argv = ["--color=always" if a == "--color" else a for a in argv]
+    try:
+        opts, args = getopt.getopt(argv, SHORT_OPTS, LONG_OPTS)
+    except getopt.GetoptError as e:
+        return _err(str(e))
+
+    patterns: list[bytes] = []
+    case_sensitive = True
+    use_regex = False
+    whole_word = False
+    count_mode = False
+    only_matching = False
+    max_count = None
+    recursive = False
+    string_mode_pattern = None
+    algo = None
+    no_simd = False
+    color_mode = "auto"
+    threads = None
+    use_gitignore = False
+
+    for o, a in opts:
+        if o == "-i":
+            case_sensitive = False
+        elif o == "-e":
+            patterns.append(a.encode())
+        elif o == "-f":
+            try:
+                data = sys.stdin.buffer.read() if a == "-" else open(a, "rb").read()
+            except OSError as e:
+                return _err(f"cannot read pattern file: {e}")
+            for line in data.split(b"\n"):
+                if line:  # empty lines skipped (krep.c:3571-3626)
+                    patterns.append(line)
+        elif o == "-c":
+            count_mode = True
+        elif o in ("-m", "--max-count"):
+            try:
+                max_count = int(a)
+                if max_count < 0:
+                    raise ValueError
+            except ValueError:
+                return _err(f"invalid max count: {a}")
+        elif o == "-o":
+            only_matching = True
+        elif o == "-E":
+            use_regex = True
+        elif o in ("-F", "--fixed-strings"):
+            use_regex = False
+        elif o == "-r":
+            recursive = True
+        elif o == "-t":
+            try:
+                threads = int(a)
+            except ValueError:
+                return _err(f"invalid thread count: {a}")
+        elif o == "-s":
+            string_mode_pattern = a.encode()
+        elif o == "-w":
+            whole_word = True
+        elif o in ("-v", "--version"):
+            import jax
+
+            out.write(
+                f"krep-tpu v{__version__}\nbackend: {jax.default_backend()}\n".encode()
+            )
+            out.flush()
+            return 0
+        elif o in ("-h", "--help"):
+            out.write(USAGE.encode())
+            out.flush()
+            return 0
+        elif o == "--color":
+            color_mode = a if a else "always"
+        elif o == "--no-simd":
+            no_simd = True
+        elif o == "--gitignore":
+            use_gitignore = True
+        elif o == "--algo":
+            algo = a
+
+    # --- pattern / target resolution (krep.c:3700-3810) ---
+    if string_mode_pattern is not None:
+        patterns.insert(0, string_mode_pattern)
+    if not patterns:
+        if not args:
+            sys.stderr.write(USAGE)
+            return 2
+        patterns.append(args.pop(0).encode())
+
+    if string_mode_pattern is not None:
+        if recursive:
+            return _err("-s cannot be combined with -r")
+        if not args:
+            return _err("missing STRING_TO_SEARCH for -s")
+        haystack = args[0].encode()
+        target = None
+    else:
+        target = args[0] if args else None
+
+    for p in patterns:
+        if len(p) > 1024:
+            return _err("pattern too long (max 1024)")
+    if not use_regex and any(len(p) == 0 for p in patterns) and len(patterns) == 1:
+        # empty literal pattern matches nothing in non-empty input; the
+        # empty-file special cases are handled by search paths
+        pass
+
+    color = color_mode == "always" or (
+        color_mode == "auto" and sys.stdout.isatty()
+    )
+
+    params = SearchParams(
+        patterns=tuple(patterns),
+        case_sensitive=case_sensitive,
+        use_regex=use_regex,
+        whole_word=whole_word,
+        only_matching=only_matching,
+        count_mode=count_mode,
+        max_count=max_count,
+        algo_override=algo,
+        no_simd=no_simd,
+        use_gitignore=use_gitignore,
+    )
+
+    from .engine.search import search_string, search_file
+
+    try:
+        if string_mode_pattern is not None:
+            result = search_string(params, haystack)
+            _emit(out, result, haystack, None, params, color)
+        elif recursive and target is not None and os.path.isdir(target):
+            from .io import walker
+
+            return walker.search_directory(params, target, out, color, threads)
+        elif target is not None and target != "-":
+            if os.path.isdir(target):
+                return _err(f"{target} is a directory (use -r)")
+            from .io import files
+
+            try:
+                data = files.read_bytes(target)
+            except OSError as e:
+                return _err(str(e))
+            result = search_string(params, bytes(data) if not hasattr(data, "shape") else data)
+            _emit(out, result, data, target, params, color)
+        else:
+            data = sys.stdin.buffer.read()
+            result = search_string(params, data)
+            _emit(out, result, data, None, params, color)
+    except NotImplementedError as e:
+        return _err(str(e))
+    except BrokenPipeError:
+        return 0
+    except Exception as e:
+        from .engine.regex_engine import RegexError
+
+        if isinstance(e, RegexError):
+            return _err(str(e))
+        raise
+
+    out.flush()
+    return 0 if result.matched else 1
+
+
+def _emit(out, result, text, filename, params: SearchParams, color: bool):
+    if params.count_mode:
+        printer.print_count(out, result.count, filename)
+    elif params.only_matching:
+        printer.print_only_matching(
+            out, text, result.positions, filename, color, params.max_count
+        )
+    else:
+        printer.print_matching_lines(out, text, result.positions, filename, color)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

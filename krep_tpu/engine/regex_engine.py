@@ -1,14 +1,178 @@
-"""POSIX ERE engine (placeholder — M4).
+"""POSIX ERE engine — binds the host libc regcomp/regexec via ctypes.
 
-Leftmost-longest + REG_NEWLINE semantics (krep.c:1389-1579) require the host
-libc regex engine; Python `re` is leftmost-first and diverges. Implemented in
-a later milestone by binding regcomp/regexec via the C runtime extension.
+Leftmost-longest + REG_NEWLINE semantics (what `krep -E` produces via glibc,
+krep.c:1389-1579) cannot be reproduced by Python's leftmost-first `re`; we
+call the exact same libc engine the reference does, and mirror its search
+loop byte-for-byte:
+
+  * multi-pattern: combined into one ERE "(p1)|(p2)|..." — each wrapped
+    "(\\bp\\b)" under -w; a single -w pattern becomes "\\bp\\b" bare
+    (krep.c:2087-2161)
+  * compile flags REG_EXTENDED | REG_NEWLINE [| REG_ICASE]
+  * REG_STARTEND windowed exec; REG_NOTBOL unless at text start or just
+    after '\\n' (krep.c:1432-1434)
+  * zero-length match advances by one byte (krep.c:1539-1543)
+  * empty text matches once if the regex accepts "" (krep.c:1402-1416)
+  * -w double-checks is_whole_word_match and advances so+1 on failure
+  * -c dedups by line with skip-to-next-line; -m breaks at max_count
 """
 
 from __future__ import annotations
 
+import ctypes
+
+import numpy as np
+
 from ..params import SearchParams
 
+REG_EXTENDED = 1
+REG_ICASE = 2
+REG_NEWLINE = 4
+REG_NOTBOL = 1
+REG_STARTEND = 4
+REG_NOMATCH = 1
 
-def search_regex(params: SearchParams, text: bytes):
-    raise NotImplementedError("POSIX ERE engine lands in milestone M4")
+_libc = ctypes.CDLL(None, use_errno=True)
+
+
+class _regmatch_t(ctypes.Structure):
+    _fields_ = [("rm_so", ctypes.c_int), ("rm_eo", ctypes.c_int)]  # glibc regoff_t == int
+
+
+class RegexError(ValueError):
+    pass
+
+
+class PosixRegex:
+    """A compiled glibc regex (opaque regex_t buffer)."""
+
+    def __init__(self, pattern: bytes, cflags: int):
+        self._preg = ctypes.create_string_buffer(512)  # sizeof(regex_t)=64 on glibc
+        rc = _libc.regcomp(self._preg, ctypes.c_char_p(pattern), cflags)
+        if rc != 0:
+            buf = ctypes.create_string_buffer(256)
+            _libc.regerror(rc, self._preg, buf, 256)
+            raise RegexError(f"Regex compilation error: {buf.value.decode()}")
+        self._alive = True
+
+    def exec_at(self, base_addr: int, offset: int, rem: int, eflags: int):
+        """regexec over [offset, offset+rem) of the NUL-terminated buffer at
+        base_addr, REG_STARTEND windowed. Returns (so, eo) rel. offset or None."""
+        pm = _regmatch_t(0, rem)
+        rc = _libc.regexec(
+            self._preg,
+            ctypes.c_char_p(base_addr + offset),
+            1,
+            ctypes.byref(pm),
+            eflags | REG_STARTEND,
+        )
+        if rc == REG_NOMATCH:
+            return None
+        if rc != 0:
+            buf = ctypes.create_string_buffer(256)
+            _libc.regerror(rc, self._preg, buf, 256)
+            raise RegexError(f"Regex execution error: {buf.value.decode()}")
+        if pm.rm_so == -1 or pm.rm_eo == -1:
+            return None
+        return pm.rm_so, pm.rm_eo
+
+    def matches_empty(self) -> bool:
+        pm = _regmatch_t(0, 0)
+        return _libc.regexec(self._preg, b"", 1, ctypes.byref(pm), 0) == 0
+
+    def __del__(self):
+        if getattr(self, "_alive", False):
+            _libc.regfree(self._preg)
+
+
+def build_regex_source(params: SearchParams) -> bytes:
+    """Combined-OR + \\b wrapping, mirroring krep.c:2087-2161."""
+    pats = params.patterns
+    if len(pats) > 1:
+        if params.whole_word:
+            return b"|".join(b"(\\b" + p + b"\\b)" for p in pats)
+        return b"|".join(b"(" + p + b")" for p in pats)
+    if params.whole_word:
+        return b"\\b" + pats[0] + b"\\b"
+    return pats[0]
+
+
+def _is_word_byte(c: int) -> bool:
+    return (
+        0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A or c == 0x5F
+    )
+
+
+def search_regex(params: SearchParams, text) -> "SearchResult":
+    from .search import SearchResult, _EMPTY_POS
+
+    if isinstance(text, np.ndarray):
+        data = text.tobytes()
+    else:
+        data = bytes(text)
+    n = len(data)
+
+    cflags = REG_EXTENDED | REG_NEWLINE | (0 if params.case_sensitive else REG_ICASE)
+    rx = PosixRegex(build_regex_source(params), cflags)
+
+    max_count = params.effective_max_count
+    if params.max_count == 0 and (params.count_lines_mode or params.track_positions):
+        return SearchResult(0, _EMPTY_POS, n)
+
+    if n == 0:
+        if rx.matches_empty():
+            pos = np.array([[0, 0]], dtype=np.int64) if params.track_positions else _EMPTY_POS
+            return SearchResult(1, pos, 0)
+        return SearchResult(0, _EMPTY_POS, 0)
+
+    cbuf = ctypes.create_string_buffer(data, n + 1)  # NUL-terminated like the
+    # reference's read-not-mmap regex buffer (krep.c:2632-2634)
+    base = ctypes.addressof(cbuf)
+
+    count = 0
+    cur = 0
+    last_line = -1
+    positions: list[tuple[int, int]] = []
+    while cur < n or (cur == 0 and n == 0):
+        rem = n - cur
+        at_line_start = cur == 0 or data[cur - 1] == 0x0A
+        eflags = 0 if at_line_start else REG_NOTBOL
+        hit = rx.exec_at(base, cur, rem, eflags)
+        if hit is None:
+            break
+        so, eo = hit
+        start, end = cur + so, cur + eo
+
+        if params.whole_word:
+            before_ok = start == 0 or not _is_word_byte(data[start - 1])
+            after_ok = end >= n or not _is_word_byte(data[end])
+            if not (before_ok and after_ok):
+                cur = min(cur + so + 1, n)
+                continue
+
+        if params.count_lines_mode:
+            ls = data.rfind(b"\n", 0, start) + 1
+            if ls != last_line:
+                count += 1
+                last_line = ls
+                if count >= max_count:
+                    break
+                le = data.find(b"\n", ls)
+                cur = n if le == -1 else le + 1
+                continue
+        else:
+            count += 1
+            if params.track_positions:
+                positions.append((start, end))
+
+        if count >= max_count:
+            break
+
+        cur = min(cur + (so + 1 if so == eo else eo), n)
+
+    pos_arr = (
+        np.asarray(positions, dtype=np.int64).reshape(-1, 2)
+        if positions
+        else _EMPTY_POS
+    )
+    return SearchResult(count, pos_arr, n)

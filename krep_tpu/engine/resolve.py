@@ -45,6 +45,43 @@ def greedy_nonoverlap(starts: np.ndarray, m: int) -> np.ndarray:
     return np.asarray(keep, dtype=starts.dtype)
 
 
+def memchr_short_o_walk(
+    candidates: np.ndarray,
+    verified: np.ndarray,
+    word_ok: np.ndarray,
+    m: int,
+) -> np.ndarray:
+    """Reproduce memchr_short_search's -o advance quirk (krep.c:4495):
+    after EVERY first-byte candidate — matched or failed verification — the
+    scan skips pattern_len bytes, except a whole-word rejection which skips
+    one byte. This can drop real matches; the reference's observable output
+    includes those drops, so we emulate them.
+
+    candidates: sorted positions where the first byte matches (valid starts)
+    verified:   bool per candidate — remaining bytes match
+    word_ok:    bool per candidate — passes the whole-word filter
+    """
+    kept = []
+    pos = 0
+    k = len(candidates)
+    i = 0
+    while i < k:
+        c = int(candidates[i])
+        if c < pos:
+            i += 1
+            continue
+        if verified[i]:
+            if word_ok[i]:
+                kept.append(c)
+                pos = c + m
+            else:
+                pos = c + 1
+        else:
+            pos = c + m
+        i += 1
+    return np.asarray(kept, dtype=np.int64)
+
+
 def apply_policy(starts: np.ndarray, m: int, policy: MatchPolicy) -> np.ndarray:
     if policy is MatchPolicy.ALL:
         return starts

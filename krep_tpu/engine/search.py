@@ -64,6 +64,49 @@ def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
     return int(count), int(lines), starts
 
 
+def _is_word_np(b: np.ndarray) -> np.ndarray:
+    return (
+        ((b >= 0x30) & (b <= 0x39))
+        | ((b >= 0x41) & (b <= 0x5A))
+        | ((b >= 0x61) & (b <= 0x7A))
+        | (b == 0x5F)
+    )
+
+
+def _memchr_short_o(params: SearchParams, text) -> SearchResult:
+    """Host emulation of memchr_short_search in -o mode (krep.c:4371-4503):
+    its candidate-skip advance drops some matches, and that observable
+    behavior must be reproduced (see resolve.memchr_short_o_walk)."""
+    buf = np.frombuffer(text, np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text)
+    n = buf.shape[0]
+    pat = np.frombuffer(params.pattern, np.uint8)
+    m = len(pat)
+    t = buf
+    if not params.case_sensitive:
+        upper = (t >= 0x41) & (t <= 0x5A)
+        t = np.where(upper, t + 32, t)
+        pu = (pat >= 0x41) & (pat <= 0x5A)
+        pat = np.where(pu, pat + 32, pat)
+    cands = np.flatnonzero(t[: n - m + 1] == pat[0])
+    verified = np.ones(len(cands), dtype=bool)
+    for j in range(1, m):
+        verified &= t[cands + j] == pat[j]
+    if params.whole_word:
+        before_ok = np.ones(len(cands), dtype=bool)
+        nz = cands > 0
+        before_ok[nz] = ~_is_word_np(buf[cands[nz] - 1])
+        after_ok = np.ones(len(cands), dtype=bool)
+        inr = cands + m < n
+        after_ok[inr] = ~_is_word_np(buf[cands[inr] + m])
+        word_ok = before_ok & after_ok
+    else:
+        word_ok = np.ones(len(cands), dtype=bool)
+    kept = resolve.memchr_short_o_walk(cands, verified, word_ok, m)
+    kept = resolve.truncate_max_count(kept, params.max_count)
+    positions = np.stack([kept, kept + m], axis=1).astype(np.int64)
+    return SearchResult(len(kept), positions, n)
+
+
 def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
     from ..ops import dispatch
 
@@ -71,6 +114,13 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
     n = len(text)
     if m == 0 or n < m:
         return SearchResult(0, _EMPTY_POS, n)
+
+    if (
+        sel.algorithm is Algorithm.MEMCHR_SHORT
+        and params.only_matching
+        and not params.count_lines_mode
+    ):
+        return _memchr_short_o(params, text)
 
     policy = sel.policy(params.only_matching)
     max_count = params.max_count

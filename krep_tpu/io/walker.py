@@ -1,0 +1,216 @@
+"""Recursive directory walker + filters (mirror of krep.c:3068-3445).
+
+Behavior pinned to the reference:
+  - hidden directories and the skip list are pruned (krep.c:3071-3090);
+    hidden *files* are not skipped
+  - ~70 binary/asset extensions skipped case-insensitively, plus any file
+    with ".min." in its name (krep.c:3092-3117, krep.h:247-266)
+  - binary sniff (NUL in first 1KB) only for files > 1MB (krep.c:3415-3419)
+  - symlinks are never followed (lstat semantics)
+  - --gitignore: per-directory .gitignore parsed into (pattern, negated,
+    dir_only), matched against the basename with fnmatch, child overrides
+    parent (krep.c:3146-3294)
+  - traversal is serial; -r -c prints file:N for every searched file,
+    including N=0 (observed reference behavior)
+  - errors: EACCES/ENOENT tolerated; other errors count toward exit code 2
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import stat as stat_mod
+import sys
+
+from ..params import SearchParams
+
+SKIP_DIRECTORIES = {
+    ".git", "node_modules", ".svn", ".hg", "build", "dist",
+    "__pycache__", ".pytest_cache", ".mypy_cache", ".venv", ".env",
+    "venv", "env", "target", "bin", "obj",
+}
+
+SKIP_EXTENSIONS = {
+    ".o", ".so", ".a", ".dll", ".exe", ".lib", ".dylib", ".class", ".pyc",
+    ".pyo", ".obj", ".elf", ".wasm",
+    ".zip", ".tar", ".gz", ".bz2", ".xz", ".rar", ".7z", ".jar", ".war",
+    ".ear", ".iso", ".img", ".pkg", ".deb", ".rpm",
+    ".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp", ".svg",
+    ".ico", ".psd", ".ai",
+    ".mp3", ".wav", ".ogg", ".flac", ".aac", ".m4a", ".mp4", ".avi", ".mkv",
+    ".mov", ".wmv", ".flv",
+    ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx", ".odt",
+    ".ods", ".odp",
+    ".dat", ".bin", ".bak", ".log", ".tmp", ".temp",
+    ".swp", ".swo", ".ds_store",
+    ".db", ".sqlite", ".mdb",
+    ".ttf", ".otf", ".woff", ".woff2", ".eot",
+}
+
+BINARY_CHECK_SIZE = 1024
+BINARY_CHECK_THRESHOLD = 1024 * 1024
+
+
+def should_skip_directory(name: str) -> bool:
+    if name.startswith(".") and name not in (".", ".."):
+        return True
+    return name in SKIP_DIRECTORIES
+
+
+def should_skip_extension(name: str) -> bool:
+    dot = name.rfind(".")
+    if dot <= 0 or dot == len(name) - 1:
+        return False
+    if ".min." in name:
+        return True
+    return name[dot:].lower() in SKIP_EXTENSIONS
+
+
+def is_binary_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(BINARY_CHECK_SIZE)
+    except OSError:
+        return False
+    return b"\0" in head
+
+
+class Gitignore:
+    """One directory level of .gitignore patterns, chained to the parent."""
+
+    def __init__(self, parent: "Gitignore | None"):
+        self.parent = parent
+        self.entries: list[tuple[str, bool, bool]] = []  # (pattern, negated, dir_only)
+
+    def add_line(self, line: str):
+        line = line.lstrip(" \t")
+        if not line or line.startswith("#"):
+            return
+        negated = line.startswith("!")
+        if negated:
+            line = line[1:]
+        line = line.rstrip(" \t\r\n")
+        if not line:
+            return
+        dir_only = line.endswith("/")
+        if dir_only:
+            line = line[:-1]
+            if not line:
+                return
+        if line.startswith("/"):
+            line = line[1:]
+        self.entries.append((line, negated, dir_only))
+
+    @classmethod
+    def load(cls, directory: str, parent: "Gitignore | None"):
+        path = os.path.join(directory, ".gitignore")
+        try:
+            with open(path, "r", errors="replace") as f:
+                gi = cls(parent)
+                for line in f:
+                    gi.add_line(line)
+                return gi
+        except OSError:
+            return None
+
+    def is_ignored(self, name: str, is_dir: bool) -> bool:
+        ignored = self.parent.is_ignored(name, is_dir) if self.parent else False
+        for pattern, negated, dir_only in self.entries:
+            if dir_only and not is_dir:
+                continue
+            if fnmatch.fnmatchcase(name, pattern):
+                ignored = not negated
+        return ignored
+
+
+def iter_files(
+    base_dir: str, use_gitignore: bool = False, _parent_gi: Gitignore | None = None
+):
+    """Yield (path, size) of files to search, and accumulate errors via the
+    returned generator's .errors after exhaustion (use walk() for that)."""
+    yield from _walk(base_dir, use_gitignore, _parent_gi, [0])
+
+
+def _walk(base_dir, use_gitignore, parent_gi, err_acc):
+    try:
+        entries = list(os.scandir(base_dir))
+    except PermissionError:
+        sys.stderr.write(f"krep: {base_dir}: Permission denied\n")
+        return
+    except FileNotFoundError:
+        return
+    except OSError as e:
+        sys.stderr.write(f"krep: {base_dir}: {e.strerror}\n")
+        err_acc[0] += 1
+        return
+
+    gi = parent_gi
+    if use_gitignore:
+        local = Gitignore.load(base_dir, parent_gi)
+        if local is not None:
+            gi = local
+
+    for entry in entries:
+        name = entry.name
+        try:
+            st = entry.stat(follow_symlinks=False)
+        except FileNotFoundError:
+            continue
+        except OSError as e:
+            sys.stderr.write(f"krep: {entry.path}: {e.strerror}\n")
+            err_acc[0] += 1
+            continue
+        if stat_mod.S_ISDIR(st.st_mode):
+            if should_skip_directory(name):
+                continue
+            if gi is not None and gi.is_ignored(name, True):
+                continue
+            yield from _walk(entry.path, use_gitignore, gi, err_acc)
+        elif stat_mod.S_ISREG(st.st_mode):
+            if should_skip_extension(name):
+                continue
+            if gi is not None and gi.is_ignored(name, False):
+                continue
+            if st.st_size > BINARY_CHECK_THRESHOLD and is_binary_file(entry.path):
+                continue
+            yield entry.path, st.st_size
+
+
+def search_directory(params: SearchParams, base_dir: str, out, color: bool, threads=None) -> int:
+    """Search all eligible files under base_dir; returns the process exit
+    code (0 match / 1 no match / 2 error), printing per-file results."""
+    from ..engine.search import search_string
+    from ..output import printer
+    from . import files
+
+    use_gi = getattr(params, "use_gitignore", False)
+    err_acc = [0]
+    any_match = False
+    for path, size in _walk(base_dir, use_gi, None, err_acc):
+        try:
+            data = files.read_bytes(path)
+        except OSError as e:
+            sys.stderr.write(f"krep: {path}: {e}\n")
+            err_acc[0] += 1
+            continue
+        try:
+            result = search_string(params, data)
+        except NotImplementedError:
+            raise
+        except Exception as e:  # match reference: per-file errors don't abort -r
+            sys.stderr.write(f"krep: {path}: {e}\n")
+            err_acc[0] += 1
+            continue
+        any_match = any_match or result.matched
+        if params.count_mode:
+            printer.print_count(out, result.count, path)
+        elif params.only_matching:
+            printer.print_only_matching(
+                out, data, result.positions, path, color, params.max_count
+            )
+        else:
+            printer.print_matching_lines(out, data, result.positions, path, color)
+    out.flush()
+    if err_acc[0]:
+        return 2
+    return 0 if any_match else 1

@@ -18,6 +18,20 @@ import numpy as np
 
 from . import literal
 
+# Persistent compile cache: the CLI is a fresh process per invocation (like
+# the reference binary), so kernel compiles must amortize across runs.
+if os.environ.get("KREP_TPU_NO_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "KREP_TPU_CACHE_DIR", os.path.expanduser("~/.cache/krep_tpu/jax")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is best-effort
+        pass
+
 # Staged layout contract (shared by the XLA and Pallas backends):
 #   total bytes = 128 * (R + HALO_ROWS) where R is a row bucket
 #   (power-of-two or 1.5x power-of-two, min TILE_ROWS) and the trailing

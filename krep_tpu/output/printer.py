@@ -1,0 +1,143 @@
+"""Output engine — byte-exact with print_matching_items (krep.c:461-1078).
+
+Formats (verified against the reference binary):
+  default   : [FILE:]LINE_TEXT, one print per matched line (dedup by line)
+  -o        : [FILE:]LINENO:MATCH_TEXT per match, 1-based line numbers,
+              '\\n' inside a match rendered as ' ' (krep.c:736-753)
+  counting  : [FILE:]N (done by the CLI, not here)
+
+Color mode mirrors the ANSI palette of krep.h:33-45 and the exact emission
+order probed from the binary: filename in FILENAME + reset, ':' in SEPARATOR
+(no reset), then TEXT-colored line with MATCH-colored spans (default mode)
+or LINE_NUMBER-colored "N:" + reset + MATCH-colored match (-o mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RESET = b"\033[0m"
+FILENAME = b"\033[1;38;5;81m"
+SEPARATOR = b"\033[38;5;244m"
+LINE_NUMBER = b"\033[1;38;5;111m"
+MATCH = b"\033[1;38;5;222m"
+TEXT = b"\033[38;5;252m"
+
+
+def _as_bytes(text) -> np.ndarray:
+    if isinstance(text, np.ndarray):
+        return text
+    return np.frombuffer(text, dtype=np.uint8)
+
+
+def newline_positions(text) -> np.ndarray:
+    return np.flatnonzero(_as_bytes(text) == 10)
+
+
+def _tobytes(buf: np.ndarray, a: int, b: int) -> bytes:
+    return _as_bytes(buf)[a:b].tobytes()
+
+
+def print_only_matching(
+    out,
+    text,
+    positions: np.ndarray,
+    filename: str | None,
+    color: bool,
+    max_count: int | None = None,
+):
+    """-o mode: [FILE:]LINENO:MATCH per match (krep.c:517-793)."""
+    buf = _as_bytes(text)
+    nl = newline_positions(buf)
+    if max_count is not None:
+        positions = positions[:max_count]
+    if len(positions) == 0:
+        return
+    starts = positions[:, 0]
+    linenos = np.searchsorted(nl, starts, side="left") + 1
+
+    fn = filename.encode() if filename is not None else None
+    parts = []
+    for (s, e), ln in zip(positions.tolist(), linenos.tolist()):
+        match_text = buf[s:e].tobytes().replace(b"\n", b" ")
+        if color:
+            if fn is not None:
+                parts.append(FILENAME + fn + RESET + SEPARATOR + b":")
+            parts.append(
+                LINE_NUMBER + str(ln).encode() + b":" + RESET + MATCH + match_text + RESET + b"\n"
+            )
+        else:
+            if fn is not None:
+                parts.append(fn + b":")
+            parts.append(str(ln).encode() + b":" + match_text + b"\n")
+    out.write(b"".join(parts))
+
+
+def print_matching_lines(
+    out,
+    text,
+    positions: np.ndarray,
+    filename: str | None,
+    color: bool,
+):
+    """Default mode: each matched line once, matches highlighted when color
+    (krep.c:797-1071). Match spans are clamped to line bounds."""
+    buf = _as_bytes(text)
+    n = buf.shape[0]
+    nl = newline_positions(buf)
+    if len(positions) == 0:
+        return
+    starts = positions[:, 0]
+    # line index (0-based) per match; line i spans (nl[i-1]+1 .. nl[i])
+    lidx = np.searchsorted(nl, starts, side="left")
+
+    fn = filename.encode() if filename is not None else None
+    parts = []
+    last_line = -1
+    i = 0
+    k = len(positions)
+    while i < k:
+        li = int(lidx[i])
+        if li == last_line:
+            i += 1
+            continue
+        last_line = li
+        ls = int(nl[li - 1]) + 1 if li > 0 else 0
+        le = int(nl[li]) if li < len(nl) else n
+        # collect this line's spans (consecutive in sorted order)
+        spans = []
+        j = i
+        while j < k and int(lidx[j]) == li:
+            s, e = int(positions[j, 0]), int(positions[j, 1])
+            spans.append((max(s, ls), min(e, le)))
+            j += 1
+        i = j
+
+        if fn is not None:
+            if color:
+                parts.append(FILENAME + fn + RESET + SEPARATOR + b":")
+            else:
+                parts.append(fn + b":")
+        if color:
+            parts.append(TEXT)
+            pos = ls
+            for s, e in spans:
+                if e <= pos:
+                    continue
+                s = max(s, pos)
+                parts.append(buf[pos:s].tobytes())
+                parts.append(MATCH + buf[s:e].tobytes() + TEXT)
+                pos = e
+            parts.append(buf[pos:le].tobytes())
+            parts.append(RESET + b"\n")
+        else:
+            parts.append(buf[ls:le].tobytes() + b"\n")
+    out.write(b"".join(parts))
+
+
+def print_count(out, count: int, filename: str | None):
+    """Counting modes: [FILE:]N (krep.c:3014-3017, 2203-2206)."""
+    if filename is not None:
+        out.write(filename.encode() + b":" + str(count).encode() + b"\n")
+    else:
+        out.write(str(count).encode() + b"\n")

@@ -77,6 +77,7 @@ class SearchParams:
     invert_match: bool = False         # -v (line-level invert, README.md:142)
     algo_override: Optional[str] = None  # --algo {auto,bm,kmp}
     no_simd: bool = False              # --no-simd (krep.c:118)
+    use_gitignore: bool = False        # --gitignore (krep.c:120)
     profile: SimdProfile = SimdProfile.AVX512
 
     def __post_init__(self):

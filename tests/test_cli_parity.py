@@ -1,0 +1,145 @@
+"""Whole-binary behavior: our CLI's stdout must be byte-identical to the
+reference binary's for the same invocation (the analogue of the reference's
+dup2-capture tests, test_krep.c:112-203)."""
+
+import io
+import os
+import tempfile
+
+import pytest
+
+import naive
+import oracle
+from krep_tpu import cli
+
+pytestmark = pytest.mark.skipif(
+    oracle.ensure_oracle() is None, reason="reference oracle unavailable"
+)
+
+
+def ours(argv: list[str]) -> tuple[bytes, int]:
+    out = io.BytesIO()
+    rc = cli.main(argv, out=out)
+    return out.getvalue(), rc
+
+
+@pytest.fixture(scope="module")
+def corpus_file():
+    text = naive.gen_english(5, 30_000)
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    yield path, text
+    os.unlink(path)
+
+
+ARGSETS = [
+    ["the"],
+    ["-c", "the"],
+    ["-o", "the"],
+    ["-c", "-o", "the"],
+    ["-i", "THE"],
+    ["-i", "-o", "THE"],
+    ["-w", "the"],
+    ["-w", "-o", "fox"],
+    ["-m", "3", "-o", "the"],
+    ["-m", "2", "the"],
+    ["-m", "0", "-c", "the"],
+    ["-e", "the", "-e", "fox", "-o"],
+    ["-e", "the", "-e", "fox", "-c"],
+    ["--algo", "bm", "-o", "aaa"],
+    ["--algo", "kmp", "-c", "-o", "aaa"],
+    ["zzqqxx"],          # no match
+    ["-c", "zzqqxx"],
+    ["e"],               # single char
+    ["-o", "th"],        # len 2
+    ["--color=always", "the"],
+    ["--color=always", "-o", "the"],
+    ["--no-simd", "-c", "-o", "aba"],
+]
+
+
+@pytest.mark.parametrize("args", ARGSETS, ids=lambda a: " ".join(a))
+def test_stdout_parity_file(corpus_file, args):
+    path, _ = corpus_file
+    got, rc = ours([*args, path])
+    want, want_rc = oracle.run([*args, path])
+    assert got == want
+    assert rc == want_rc
+
+
+def test_stdout_parity_small_corners():
+    cases = [
+        (b"abababa", ["-o", "aba"]),
+        (b"abababa", ["-c", "-o", "aba"]),
+        (b"aaaaa", ["-o", "aa"]),
+        (b"aaaaa", ["--algo", "bm", "-o", "aa"]),
+        (b"the\nthe the\n", ["the"]),
+        (b"no trailing newline the", ["the"]),
+        (b"", ["x"]),
+        (b"x\n\n\nx\n", ["x"]),
+        (b"a\x00b ab\n", ["ab"]),
+    ]
+    for text, args in cases:
+        with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+            f.write(text)
+            path = f.name
+        try:
+            got, rc = ours([*args, path])
+            want, want_rc = oracle.run([*args, path])
+            assert got.replace(path.encode(), b"F") == want.replace(
+                path.encode(), b"F"
+            ), (text, args)
+            assert rc == want_rc, (text, args)
+        finally:
+            os.unlink(path)
+
+
+def test_string_mode_parity():
+    for args, text in [
+        (["-s", "the"], "the cat and the dog"),
+        (["-o", "-s", "the"], "the cat and the dog"),
+        (["-c", "-s", "the"], "the cat"),
+        (["-s", "zz"], "nope"),
+    ]:
+        got, rc = ours([*args, text])
+        want, want_rc = oracle.run([*args, text])
+        assert got == want, (args, text)
+        assert rc == want_rc
+
+
+def test_recursive_parity(tmp_path):
+    d = tmp_path / "tree"
+    (d / "sub").mkdir(parents=True)
+    (d / ".git").mkdir()
+    (d / "node_modules").mkdir()
+    (d / "a.txt").write_bytes(b"the cat\n")
+    (d / "b.txt").write_bytes(b"nothing\n")
+    (d / "sub" / "c.txt").write_bytes(b"the dog\nthe bird\n")
+    (d / ".git" / "skip.txt").write_bytes(b"the x\n")
+    (d / "app.min.js").write_bytes(b"the y\n")
+    (d / "img.png").write_bytes(b"the z\n")
+    (d / ".hidden.txt").write_bytes(b"the h\n")  # hidden FILE is searched
+
+    for args in [["-r", "-c", "the"], ["-r", "the"], ["-r", "-o", "the"]]:
+        got, rc = ours([*args, str(d)])
+        want, want_rc = oracle.run([*args, str(d)])
+        assert sorted(got.splitlines()) == sorted(want.splitlines()), args
+        assert rc == want_rc, args
+
+
+def test_gitignore_parity(tmp_path):
+    d = tmp_path / "g"
+    (d / "keep").mkdir(parents=True)
+    (d / "drop").mkdir()
+    (d / ".gitignore").write_text("drop/\n*.skip\n!keep.skip\n")
+    (d / "a.txt").write_bytes(b"the a\n")
+    (d / "b.skip").write_bytes(b"the b\n")
+    (d / "keep.skip").write_bytes(b"the k\n")
+    (d / "drop" / "c.txt").write_bytes(b"the c\n")
+    (d / "keep" / "d.txt").write_bytes(b"the d\n")
+
+    got, rc = ours(["-r", "--gitignore", "-c", "the", str(d)])
+    want, want_rc = oracle.run(["-r", "--gitignore", "-c", "the", str(d)])
+    assert sorted(got.splitlines()) == sorted(want.splitlines())
+    assert rc == want_rc
