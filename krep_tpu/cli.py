@@ -226,8 +226,26 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 data = files.read_bytes(target)
             except OSError as e:
                 return _err(str(e))
+            if not use_regex and len(patterns) > 1 and any(len(p) == 0 for p in patterns):
+                # krep.c:2298-2322 validation inside search_file
+                return _err(
+                    f"{target}: Error: Empty pattern provided for literal "
+                    "search with multiple patterns."
+                )
             result = search_string(params, bytes(data) if not hasattr(data, "shape") else data)
-            _emit(out, result, data, target, params, color)
+            if len(data) == 0 and not use_regex and len(patterns) == 1 and len(patterns[0]) == 0:
+                # empty pattern matches an empty FILE once (krep.c:2419-2513);
+                # string/stdin search has no such special case (observed)
+                import numpy as _np
+
+                from .engine.search import SearchResult
+
+                result = SearchResult(1, _np.array([[0, 0]], dtype=_np.int64), 0)
+            if len(data) == 0 and result.count == 1 and params.only_matching and not params.count_mode:
+                # the reference prints "file::" here, not "file:1:"
+                out.write(f"{target}::\n".encode())
+            else:
+                _emit(out, result, data, target, params, color)
         else:
             data = sys.stdin.buffer.read()
             result = search_string(params, data)

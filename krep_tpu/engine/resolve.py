@@ -61,6 +61,13 @@ def memchr_short_o_walk(
     verified:   bool per candidate — remaining bytes match
     word_ok:    bool per candidate — passes the whole-word filter
     """
+    if _native is not None:
+        return _native.memchr_short_o_walk(
+            np.ascontiguousarray(candidates, np.int64),
+            np.ascontiguousarray(verified, np.uint8),
+            np.ascontiguousarray(word_ok, np.uint8),
+            m,
+        )
     kept = []
     pos = 0
     k = len(candidates)

@@ -1,0 +1,84 @@
+"""ctypes bindings for the native host runtime (runtime.c).
+
+The shared library is built on first import with the system compiler into a
+user cache dir (content-addressed by source hash, so edits rebuild). All
+callers degrade gracefully to numpy/python fallbacks if the toolchain is
+unavailable — see engine/resolve.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "runtime.c")
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    h = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.environ.get(
+        "KREP_TPU_CACHE_DIR", os.path.expanduser("~/.cache/krep_tpu")
+    )
+    os.makedirs(cache, exist_ok=True)
+    sopath = os.path.join(cache, f"krep_runtime_{h}.so")
+    if os.path.exists(sopath):
+        return sopath
+    cc = os.environ.get("CC") or shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
+    if cc is None:
+        raise RuntimeError("no C compiler")
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, "krep_runtime.so")
+        subprocess.run(
+            [cc, "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, sopath) if os.name != "nt" else shutil.move(tmp, sopath)
+    return sopath
+
+
+_lib = ctypes.CDLL(_build())
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+_lib.krep_greedy_nonoverlap.restype = ctypes.c_int64
+_lib.krep_greedy_nonoverlap.argtypes = [_i64p, ctypes.c_int64, ctypes.c_int64, _i64p]
+_lib.krep_memchr_short_o_walk.restype = ctypes.c_int64
+_lib.krep_memchr_short_o_walk.argtypes = [
+    _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
+]
+_lib.krep_distinct_lines.restype = ctypes.c_int64
+_lib.krep_distinct_lines.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64]
+
+
+def greedy_nonoverlap(starts: np.ndarray, m: int) -> np.ndarray:
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty_like(starts)
+    k = _lib.krep_greedy_nonoverlap(starts, len(starts), m, out)
+    return out[:k]
+
+
+def memchr_short_o_walk(
+    cands: np.ndarray, verified: np.ndarray, word_ok: np.ndarray, m: int
+) -> np.ndarray:
+    cands = np.ascontiguousarray(cands, np.int64)
+    verified = np.ascontiguousarray(verified, np.uint8)
+    word_ok = np.ascontiguousarray(word_ok, np.uint8)
+    out = np.empty_like(cands)
+    k = _lib.krep_memchr_short_o_walk(cands, verified, word_ok, len(cands), m, out)
+    return out[:k]
+
+
+def distinct_lines(starts: np.ndarray, newlines: np.ndarray) -> int:
+    starts = np.ascontiguousarray(starts, np.int64)
+    newlines = np.ascontiguousarray(newlines, np.int64)
+    return int(_lib.krep_distinct_lines(starts, len(starts), newlines, len(newlines)))

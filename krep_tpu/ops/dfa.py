@@ -1,13 +1,10 @@
-"""Dense-DFA multi-pattern scan for large pattern sets.
+"""Large-pattern-set multi-pattern search.
 
-Host builds the Aho-Corasick automaton (aho_corasick.c:111-271) flattened to
-a [S, 256] int32 next-state table; the device walks many independent text
-chunks in parallel (lanes), each with a (maxlen-1)-byte halo, emitting only
-ends inside the owned region. Lands as a Pallas kernel in milestone M3.
-
-Until then, large sets are processed in fused groups of FUSED_MAX patterns —
-semantically identical (union of per-pattern ALL matches), just more passes
-over the text.
+Routes K > FUSED_MAX pattern sets through the dense-DFA device scan
+(ops/ac.py — the TPU equivalent of aho_corasick.c). Pattern attribution and
+whole-word filtering happen host-side at the (sparse) flagged end positions.
+If the automaton would exceed the dense-table cap, falls back to grouped
+fused scans (exact, more passes).
 """
 
 from __future__ import annotations
@@ -17,49 +14,126 @@ import numpy as np
 from ..params import SearchParams
 
 
+def _fold(b: np.ndarray) -> np.ndarray:
+    return np.where((b >= 0x41) & (b <= 0x5A), b + 32, b).astype(np.uint8)
+
+
+def _is_word(b: np.ndarray) -> np.ndarray:
+    return (
+        ((b >= 0x30) & (b <= 0x39))
+        | ((b >= 0x41) & (b <= 0x5A))
+        | ((b >= 0x61) & (b <= 0x7A))
+        | (b == 0x5F)
+    )
+
+
+def _attribute(data: np.ndarray, ends: np.ndarray, patterns, params: SearchParams):
+    """Per-pattern verification at flagged end positions → (starts, ends)
+    arrays incl. duplicates, with whole-word filtering."""
+    n = data.shape[0]
+    t = data if params.case_sensitive else _fold(data)
+    all_s, all_e = [], []
+    for p in patterns:
+        pk = np.frombuffer(p, np.uint8)
+        if not params.case_sensitive:
+            pk = _fold(pk)
+        mk = len(pk)
+        s = ends - mk
+        ok = s >= 0
+        cand = s[ok]
+        if len(cand) == 0:
+            continue
+        idx = cand[:, None] + np.arange(mk)
+        match = (t[idx] == pk).all(axis=1)
+        cand = cand[match]
+        if params.whole_word and len(cand):
+            before_ok = np.ones(len(cand), bool)
+            nz = cand > 0
+            before_ok[nz] = ~_is_word(data[cand[nz] - 1])
+            after_ok = np.ones(len(cand), bool)
+            inr = cand + mk < n
+            after_ok[inr] = ~_is_word(data[cand[inr] + mk])
+            cand = cand[before_ok & after_ok]
+        all_s.append(cand)
+        all_e.append(cand + mk)
+    if not all_s:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(all_s), np.concatenate(all_e)
+
+
 def search_dfa(params: SearchParams, text) -> "SearchResult":
     from ..engine.search import SearchResult, _EMPTY_POS
     from ..engine import resolve
-    from . import multi as multi_mod
+    from . import ac
+
+    patterns = tuple(p for p in params.patterns if len(p) > 0)
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+    n = data.shape[0]
+
+    pure_count = params.count_matches_mode and not params.whole_word
+    out = ac.search_dense_dfa(
+        list(patterns), data, params.case_sensitive, want_positions=not pure_count
+    )
+    if out is None:  # automaton too large for the dense table
+        return _grouped_fallback(params, text)
+    total, ends = out
+
+    mc = params.max_count
+    if pure_count:
+        return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
+
+    starts, ends_arr = _attribute(data, np.asarray(ends, np.int64), patterns, params)
+
+    if params.count_lines_mode:
+        from ..engine.resolve import newline_positions_host
+
+        nl = newline_positions_host(data)
+        order = np.argsort(starts, kind="stable")
+        try:
+            from ..native import runtime as _native
+
+            lines = _native.distinct_lines(
+                np.ascontiguousarray(starts[order], np.int64),
+                np.ascontiguousarray(nl, np.int64),
+            )
+        except Exception:
+            lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
+        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
+
+    # AC emission order is (end asc, start asc) for -m truncation
+    order = np.lexsort((starts, ends_arr))
+    starts, ends_arr = starts[order], ends_arr[order]
+    if mc is not None:
+        starts, ends_arr = starts[:mc], ends_arr[:mc]
+    order = np.lexsort((ends_arr, starts))
+    positions = np.stack([starts[order], ends_arr[order]], axis=1).astype(np.int64)
+    if params.count_matches_mode:  # whole_word forced the positions path
+        return SearchResult(len(positions), _EMPTY_POS, n)
+    return SearchResult(len(positions), positions, n)
+
+
+def _grouped_fallback(params: SearchParams, text) -> "SearchResult":
+    """Exact fallback: fused scans in groups of FUSED_MAX patterns."""
+    from ..engine.search import SearchResult
+    from . import dispatch, multi as multi_mod
 
     patterns = tuple(p for p in params.patterns if len(p) > 0)
     n = len(text)
-
-    # Grouped fused scans: exact, multi-pass. Replaced by the DFA kernel.
     groups = [
         patterns[i : i + multi_mod.FUSED_MAX]
         for i in range(0, len(patterns), multi_mod.FUSED_MAX)
     ]
-    all_starts, all_ends = [], []
-    total = 0
-    line_masks = []
-    from . import dispatch, literal
-    import jax.numpy as jnp
-
     text_arr, true_len = dispatch.stage_text(text)
     need_positions = params.track_positions and not params.count_matches_mode
-    want_masks = need_positions or params.max_count is not None
+    want_masks = need_positions or params.max_count is not None or params.count_lines_mode
 
-    any_line_count = None
-    if params.count_lines_mode:
-        # OR across all groups on device would need one fused pass; do a
-        # mask union on host for now (count-lines with >32 patterns is a
-        # cold path until the DFA kernel lands).
-        union = np.zeros(n, dtype=bool)
-        for g in groups:
-            _, _, packed = multi_mod.scan_multi(
-                text_arr, true_len, patterns=g,
-                case_sensitive=params.case_sensitive,
-                whole_word=params.whole_word, want_masks=True,
-            )
-            for pk in packed:
-                union |= np.asarray(pk)[:n].astype(bool)
-        nl = resolve.newline_positions_host(text)
-        starts = np.flatnonzero(union)
-        lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
-        mc = params.max_count
-        return SearchResult(min(lines, mc) if mc is not None else lines, np.zeros((0, 2), np.int64), n)
-
+    total = 0
+    all_starts, all_ends = [], []
+    union = np.zeros(n, dtype=bool) if params.count_lines_mode else None
     for g in groups:
         t, _, packed = multi_mod.scan_multi(
             text_arr, true_len, patterns=g,
@@ -70,18 +144,31 @@ def search_dfa(params: SearchParams, text) -> "SearchResult":
         if want_masks:
             for p, pk in zip(g, packed):
                 s = np.flatnonzero(np.asarray(pk)[:n])
+                if params.count_lines_mode:
+                    union[s] = True
                 all_starts.append(s)
                 all_ends.append(s + len(p))
 
+    mc = params.max_count
+    if params.count_lines_mode:
+        from ..engine.resolve import newline_positions_host
+
+        nl = newline_positions_host(text)
+        starts = np.flatnonzero(union)
+        lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
+        return SearchResult(min(lines, mc) if mc is not None else lines, np.zeros((0, 2), np.int64), n)
+
     if not want_masks:
-        return SearchResult(total, np.zeros((0, 2), np.int64), n)
+        return SearchResult(min(total, mc) if mc is not None else total, np.zeros((0, 2), np.int64), n)
 
     starts = np.concatenate(all_starts) if all_starts else np.zeros(0, np.int64)
     ends = np.concatenate(all_ends) if all_ends else np.zeros(0, np.int64)
     order = np.lexsort((starts, ends))
     starts, ends = starts[order], ends[order]
-    if params.max_count is not None:
-        starts, ends = starts[: params.max_count], ends[: params.max_count]
+    if mc is not None:
+        starts, ends = starts[:mc], ends[:mc]
     order = np.lexsort((ends, starts))
     positions = np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    if params.count_matches_mode:
+        return SearchResult(len(positions), np.zeros((0, 2), np.int64), n)
     return SearchResult(len(positions), positions, n)
