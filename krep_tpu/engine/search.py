@@ -45,13 +45,12 @@ class SearchResult:
 _EMPTY_POS = np.zeros((0, 2), dtype=np.int64)
 
 
-def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
+def _device_scan_literal(staged, pattern, params, want_mask):
     """Run the fused device scan; returns (all_count, line_count, starts)."""
     from ..ops import dispatch
 
-    count, lines, mask = dispatch.scan_literal_auto(
-        text_arr,
-        true_len,
+    count, lines, mask = dispatch.scan_literal_staged(
+        staged,
         pattern=pattern,
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
@@ -59,8 +58,10 @@ def _device_scan_literal(text_arr, true_len, pattern, params, want_mask):
     )
     starts = None
     if want_mask:
-        n = int(true_len)
-        starts = np.flatnonzero(np.asarray(mask)[:n])
+        mk = np.asarray(mask)
+        if mk.dtype != np.uint8:  # SWAR kernel returns the uint32 view
+            mk = mk.view(np.uint8)
+        starts = np.flatnonzero(mk[: staged.n])
     return int(count), int(lines), starts
 
 
@@ -125,18 +126,18 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
     policy = sel.policy(params.only_matching)
     max_count = params.max_count
 
-    text_arr, true_len = dispatch.stage_text(text)
+    staged = dispatch.stage(text)
 
     if params.count_lines_mode:
         # -c: distinct matched lines, capped by -m (krep.c:1331-1351).
-        _, lines, _ = _device_scan_literal(text_arr, true_len, params.pattern, params, want_mask=False)
+        _, lines, _ = _device_scan_literal(staged, params.pattern, params, want_mask=False)
         count = min(lines, max_count) if max_count is not None else lines
         return SearchResult(count, _EMPTY_POS, n)
 
     need_positions = params.track_positions and not params.count_matches_mode
     want_mask = need_positions or policy is not MatchPolicy.ALL
     all_count, _, starts = _device_scan_literal(
-        text_arr, true_len, params.pattern, params, want_mask=want_mask
+        staged, params.pattern, params, want_mask=want_mask
     )
 
     if policy is MatchPolicy.ALL and not need_positions:

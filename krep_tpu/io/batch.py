@@ -1,0 +1,130 @@
+"""Batched many-small-file device scan (BASELINE config 5).
+
+The reference launches a full search per file even for tiny files
+(krep.c:3402-3430); on TPU per-launch latency would dominate a `-r` walk
+over a source tree. Instead, eligible files are concatenated into one
+staged buffer with separator gaps and scanned in ONE device pass; results
+are split per file on the host.
+
+Separator: b"\\n" + NUL padding (+ alignment to 4 bytes for the SWAR
+phases). Literal patterns never contain NUL (CLI patterns are C strings,
+krep.c:3571-3626), so no match can cross a boundary, and the newline closes
+the previous file's last line so per-file line accounting stays exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..params import MAX_PATTERN_LENGTH, SearchParams
+
+BATCH_FILE_MAX = 1 << 20       # files larger than this are searched solo
+BATCH_BUFFER_MAX = 64 << 20    # flush batch at this many bytes
+GAP = MAX_PATTERN_LENGTH + 1   # separator bytes between files
+
+
+@dataclass
+class BatchEntry:
+    path: str
+    offset: int   # start of file bytes in the batch buffer
+    size: int
+
+
+def eligible(params: SearchParams, size: int) -> bool:
+    """Batching applies to single-literal non-regex searches of small files
+    whose pattern contains no NUL (so separators cannot match)."""
+    if params.use_regex or params.num_patterns != 1:
+        return False
+    if b"\x00" in params.pattern or len(params.pattern) == 0:
+        return False
+    if size > BATCH_FILE_MAX:
+        return False
+    from ..engine.select import select_algorithm
+    from ..params import Algorithm
+
+    sel = select_algorithm(params)
+    if sel.algorithm is Algorithm.MEMCHR_SHORT and params.only_matching:
+        return False  # host-emulated quirk path (krep.c:4495)
+    return True
+
+
+class Batch:
+    def __init__(self):
+        self.chunks: list[bytes] = []
+        self.entries: list[BatchEntry] = []
+        self.size = 0
+
+    def add(self, path: str, data: bytes):
+        self.entries.append(BatchEntry(path, self.size, len(data)))
+        self.chunks.append(data)
+        pad = GAP + (-(len(data) + GAP)) % 4
+        self.chunks.append(b"\n" + b"\x00" * (pad - 1))
+        self.size += len(data) + pad
+
+    @property
+    def full(self) -> bool:
+        return self.size >= BATCH_BUFFER_MAX
+
+    def buffer(self) -> np.ndarray:
+        return np.frombuffer(b"".join(self.chunks), dtype=np.uint8)
+
+
+def scan_batch(params: SearchParams, batch: Batch):
+    """One device pass over the batch; yields (path, file_bytes, SearchResult)
+    per file in insertion order."""
+    from ..engine import resolve
+    from ..engine.search import SearchResult, _EMPTY_POS
+    from ..engine.select import select_algorithm
+    from ..ops import dispatch
+
+    data = batch.buffer()
+    staged = dispatch.stage(data)
+    sel = select_algorithm(params)
+    policy = sel.policy(params.only_matching)
+
+    _, _, mask = dispatch.scan_literal_staged(
+        staged,
+        pattern=params.pattern,
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        want_mask=True,
+    )
+    mk = np.asarray(mask)
+    if mk.dtype != np.uint8:
+        mk = mk.view(np.uint8)
+    starts = np.flatnonzero(mk[: len(data)])
+
+    m = len(params.pattern)
+    offsets = np.array([e.offset for e in batch.entries], dtype=np.int64)
+    idx_lo = np.searchsorted(starts, offsets, side="left")
+    idx_hi = np.searchsorted(
+        starts, offsets + np.array([e.size for e in batch.entries]), side="left"
+    )
+
+    for e, lo, hi in zip(batch.entries, idx_lo, idx_hi):
+        fstarts = starts[lo:hi] - e.offset
+        fdata = data[e.offset : e.offset + e.size]
+        # boundary word-filter fix-up: the byte before offset 0 is a
+        # separator NUL (non-word) and so is the byte after the file — the
+        # same as text edges, so whole-word is already exact.
+        if params.count_lines_mode:
+            nl = np.flatnonzero(fdata == 10)
+            if len(fstarts):
+                lines = len(np.unique(np.searchsorted(nl, fstarts, side="left")))
+            else:
+                lines = 0
+            mc = params.max_count
+            yield e.path, fdata, SearchResult(
+                min(lines, mc) if mc is not None else lines, _EMPTY_POS, e.size
+            )
+            continue
+        fstarts = resolve.apply_policy(fstarts, m, policy)
+        fstarts = resolve.truncate_max_count(fstarts, params.max_count)
+        positions = np.stack([fstarts, fstarts + m], axis=1).astype(np.int64)
+        count = len(fstarts)
+        if params.count_matches_mode:
+            yield e.path, fdata, SearchResult(count, _EMPTY_POS, e.size)
+        else:
+            yield e.path, fdata, SearchResult(count, positions, e.size)

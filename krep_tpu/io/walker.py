@@ -183,10 +183,48 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
     from ..output import printer
     from . import files
 
+    from . import batch as batch_mod
+
     use_gi = getattr(params, "use_gitignore", False)
     err_acc = [0]
     any_match = False
+    state = {"any_match": False}
+
+    def emit(path, data, result):
+        state["any_match"] = state["any_match"] or result.matched
+        if params.count_mode:
+            printer.print_count(out, result.count, path)
+        elif params.only_matching:
+            printer.print_only_matching(
+                out, data, result.positions, path, color, params.max_count
+            )
+        else:
+            printer.print_matching_lines(out, data, result.positions, path, color)
+
+    pending = batch_mod.Batch()
+
+    def flush_batch():
+        nonlocal pending
+        if not pending.entries:
+            return
+        for path, fdata, result in batch_mod.scan_batch(params, pending):
+            emit(path, fdata, result)
+        pending = batch_mod.Batch()
+
     for path, size in _walk(base_dir, use_gi, None, err_acc):
+        if batch_mod.eligible(params, size):
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError as e:
+                sys.stderr.write(f"krep: {path}: {e}\n")
+                err_acc[0] += 1
+                continue
+            pending.add(path, data)
+            if pending.full:
+                flush_batch()
+            continue
+        flush_batch()  # preserve walk-order output around solo files
         try:
             data = files.read_bytes(path)
         except OSError as e:
@@ -201,16 +239,10 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             sys.stderr.write(f"krep: {path}: {e}\n")
             err_acc[0] += 1
             continue
-        any_match = any_match or result.matched
-        if params.count_mode:
-            printer.print_count(out, result.count, path)
-        elif params.only_matching:
-            printer.print_only_matching(
-                out, data, result.positions, path, color, params.max_count
-            )
-        else:
-            printer.print_matching_lines(out, data, result.positions, path, color)
+        emit(path, data, result)
+    flush_batch()
     out.flush()
+    any_match = state["any_match"]
     if err_acc[0]:
         return 2
     return 0 if any_match else 1

@@ -1,0 +1,437 @@
+"""SWAR fused literal-scan Pallas kernel (v2 — the performance path).
+
+The v1 kernel (pallas_scan.py) processes one byte per int32 lane because
+Mosaic only rotates 32-bit vectors. This kernel instead packs FOUR text
+bytes per uint32 lane (little-endian, zero-copy host reinterpret) and does
+everything word-parallel:
+
+  * pattern compares become masked word equalities: for each of the 4
+    byte phases p, match-at-(4e+p) = AND over text words t of
+    ((E_t & M_{p,t}) == P_{p,t}) — the (M, P) constants are precomputed
+    per compile. ~(m+4) word ops replace 4m byte ops.
+  * ASCII case folding is branch-free SWAR: per-byte A..Z detect via
+    carryless range adds on the low-7-bit plane, then +0x20 on flagged
+    bytes (mirrors lower_table, krep.c:124-134).
+  * newline/word-char tests extract the 4 phase bytes of E_0 only.
+  * the matched-line segmented OR-scan (krep.c:1331-1351 "-c" dedup)
+    runs on 4-byte block compositions: per element (A = no '\\n' in the
+    block, B = line-has-match at block end), then the same lane/row
+    log-scan as v1 — on 1/4 the elements.
+  * sparse-pattern fast path: if no phase's first-word filter hits in a
+    tile, the whole tile reduces to "carry &= no-newline-in-tile"
+    (BMH-style skipping, krep.c:1294-1303, generalized to tiles).
+
+Mask output packs the 4 phase bits as bytes of a uint32, which is exactly
+the v1 byte-mask layout after reinterpretation — host code is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import HALO_ROWS, LANES
+
+H4 = HALO_ROWS // 4  # halo rows in the uint32 view (4 bytes/lane ⇒ /4)
+
+_U = lambda x: jnp.uint32(x)
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _roll(x, shift, axis):
+    size = x.shape[axis]
+    shift = shift % size
+    if shift == 0:
+        return x
+    return pltpu.roll(x, shift, axis=axis)
+
+
+def swar_fold(x):
+    """Byte-parallel ASCII lower-fold of a uint32 word array."""
+    hb = x & _U(0x80808080)
+    a = x & _U(0x7F7F7F7F)
+    ge_a = (a + _U(0x3F3F3F3F)) & _U(0x80808080)   # byte ≥ 0x41
+    gt_z = (a + _U(0x25252525)) & _U(0x80808080)   # byte ≥ 0x5B
+    upper = ge_a & (~gt_z) & (~hb)
+    return x + (upper >> 2)                         # +0x20 per upper byte
+
+
+def swar_has_byte(x, b: int):
+    """Nonzero iff any byte of x equals b (per-word flags at bit 7)."""
+    v = x ^ _U(b * 0x01010101)
+    return (v - _U(0x01010101)) & (~v) & _U(0x80808080)
+
+
+def _phase_words(pat: bytes, p: int):
+    """(t, mask, value) word constants for matches starting at byte phase p."""
+    m = len(pat)
+    out = []
+    for t in range((p + m + 3) // 4):
+        mask = 0
+        val = 0
+        for b in range(4):
+            i = 4 * t + b - p
+            if 0 <= i < m:
+                mask |= 0xFF << (8 * b)
+                val |= pat[i] << (8 * b)
+        if mask:
+            out.append((t, mask, val))
+    return out
+
+
+def _seg_scan_lane(A, B, lane_idx):
+    s = 1
+    while s < LANES:
+        As = _roll(A, s, axis=1)
+        Bs = _roll(B, s, axis=1)
+        ident = lane_idx < s
+        As = jnp.where(ident, 1, As)
+        Bs = jnp.where(ident, 0, Bs)
+        B = (Bs & A) | B
+        A = As & A
+        s *= 2
+    return A, B
+
+
+def _seg_scan_rows(A, B, row_idx, nrows):
+    s = 1
+    while s < nrows:
+        As = _roll(A, s, axis=0)
+        Bs = _roll(B, s, axis=0)
+        ident = row_idx < s
+        As = jnp.where(ident, 1, As)
+        Bs = jnp.where(ident, 0, Bs)
+        B = (Bs & A) | B
+        A = As & A
+        s *= 2
+    return A, B
+
+
+def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
+                 want_mask: bool, tile_r: int):
+    from .literal import fold_bytes_host
+
+    m = len(pattern)
+    pat = pattern if case_sensitive else fold_bytes_host(pattern)
+    phases = [_phase_words(pat, p) for p in range(4)]
+    max_t = max(t for ph in phases for (t, _, _) in ph)
+
+    def kernel(tl_ref, main_ref, halo_ref, count_ref, *rest):
+        if want_mask:
+            mask_ref, scratch = rest
+        else:
+            (scratch,) = rest
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            scratch[0] = 0   # match count
+            scratch[1] = 0   # matched-line count
+            scratch[2] = 0   # carry: open line already has a match
+            scratch[3] = 0   # carry: last byte of previous tile is word-char
+
+        buf = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
+        if not case_sensitive:
+            buf = swar_fold(buf)
+
+        shape = (tile_r, LANES)
+        lane_idx = _iota2(shape, 1)
+        row_idx = _iota2(shape, 0)
+
+        # element shifts E_t (flat left shift by t uint32 elements)
+        ecache = {}
+
+        def E(t):
+            if t in ecache:
+                return ecache[t]
+            rs, ls = divmod(t, LANES)
+            if ls == 0:
+                v = _roll(buf, -rs, axis=0)[:tile_r] if rs else buf[:tile_r]
+            else:
+                rolled = _roll(buf, -ls, axis=1)
+                v0 = _roll(rolled, -rs, axis=0)[:tile_r] if rs else rolled[:tile_r]
+                v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
+                v = jnp.where(lane_idx < LANES - ls, v0, v1)
+            ecache[t] = v
+            return v
+
+        e0 = E(0)
+
+        # cheap candidate filter: first-word compare per phase
+        def first_word_mask(p):
+            t, mk, vl = phases[p][0]
+            w = E(t)
+            if mk == 0xFFFFFFFF:
+                return w == _U(vl)
+            return (w & _U(mk)) == _U(vl)
+
+        cand = first_word_mask(0)
+        for p in range(1, 4):
+            cand = cand | first_word_mask(p)
+        has_cand = jnp.any(cand)
+
+        true_len = tl_ref[0]
+        nl_flags = swar_has_byte(e0, 0x0A)
+        # padding beyond true_len is zeros → no '\n' there; no correction needed
+        any_nl = jnp.any(nl_flags != _U(0))
+
+        def full_path(_):
+            # per-phase masks, packed immediately as bytes of one uint32
+            # (byte p == 1 ⇔ match starts at byte 4e+p) to keep the VMEM
+            # high-water low — everything below runs in this packed domain.
+            gbase = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
+            mword = jnp.zeros(shape, jnp.uint32)
+            for p in range(4):
+                acc = first_word_mask(p)
+                for (t, mk, vl) in phases[p][1:]:
+                    w = E(t)
+                    if mk == 0xFFFFFFFF:
+                        acc = acc & (w == _U(vl))
+                    else:
+                        acc = acc & ((w & _U(mk)) == _U(vl))
+                acc = acc & (gbase + p <= true_len - m)
+                mword = mword | (acc.astype(jnp.uint32) << _U(8 * p))
+
+            new_wc3 = jnp.int32(0)
+            if whole_word:
+                # packed word-char flags over tile+halo, then byte-shifts
+                def is_word_b(x8):
+                    return (
+                        ((x8 >= 0x30) & (x8 <= 0x39))
+                        | ((x8 >= 0x41) & (x8 <= 0x5A))
+                        | ((x8 >= 0x61) & (x8 <= 0x7A))
+                        | (x8 == 0x5F)
+                    )
+
+                wcb = jnp.zeros(buf.shape, jnp.uint32)
+                for p in range(4):
+                    wcb = wcb | (
+                        is_word_b((buf >> _U(8 * p)) & _U(0xFF)).astype(jnp.uint32)
+                        << _U(8 * p)
+                    )
+                wc0 = wcb[:tile_r]
+                # before: flags shifted +1 byte; byte0 from previous element
+                L = _roll(wc0, 1, axis=1)
+                Uu = _roll(L, 1, axis=0)
+                prev_el = jnp.where(lane_idx > 0, L, Uu)
+                at00 = (row_idx == 0) & (lane_idx == 0)
+                prev_el = jnp.where(at00, _U(0x1000000) * scratch[3].astype(jnp.uint32), prev_el)
+                beforew = (wc0 << _U(8)) | (prev_el >> _U(24))
+                # after: flags shifted left by m bytes (same machinery as W_j)
+                qa, ra = divmod(m, 4)
+
+                def EW(t):
+                    rs, ls = divmod(t, LANES)
+                    if ls == 0:
+                        return _roll(wcb, -rs, axis=0)[:tile_r] if rs else wc0
+                    rolled = _roll(wcb, -ls, axis=1)
+                    v0 = _roll(rolled, -rs, axis=0)[:tile_r] if rs else rolled[:tile_r]
+                    v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
+                    return jnp.where(lane_idx < LANES - ls, v0, v1)
+
+                if ra == 0:
+                    afterw = EW(qa)
+                else:
+                    afterw = (EW(qa) >> _U(8 * ra)) | (EW(qa + 1) << _U(32 - 8 * ra))
+                one = _U(0x01010101)
+                mword = mword & (~beforew) & (~afterw) & one
+                sel = (row_idx == tile_r - 1) & (lane_idx == LANES - 1)
+                new_wc3 = jnp.max(
+                    jnp.where(sel, (wc0 >> _U(24)).astype(jnp.int32), 0)
+                )
+
+            # match count: per-word byte-sum via multiply-high
+            dcount = jnp.sum(
+                ((mword * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+            )
+
+            # --- matched-line accounting, packed domain ---
+            one = _U(0x01010101)
+            nlw = (swar_has_byte(e0, 0x0A) >> _U(7)) & one   # 1 ⇔ '\n'
+            k = nlw ^ one                                     # keep = ~nl
+            g = mword & k                                     # match surviving its own byte
+
+            # within-word inclusive scan over 4 bytes (2 log steps):
+            # combine (A1,B1)∘(A2,B2) = (A1&A2, (B1&A2)|B2), byte0 earliest
+            A = k
+            B = g
+            As = (A << _U(8)) | _U(0x01)
+            Bs = B << _U(8)
+            B = (Bs & A) | B
+            A = As & A
+            As = (A << _U(16)) | _U(0x0101)
+            Bs = B << _U(16)
+            B = (Bs & A) | B
+            A = As & A
+            # element-level composition = byte 3 of the inclusive scan
+            Ae = (A >> _U(24)).astype(jnp.int32)
+            Be = (B >> _U(24)).astype(jnp.int32)
+            # exclusive within word (for per-byte s_before)
+            EAw = (A << _U(8)) | _U(0x01)
+            EBw = B << _U(8)
+
+            Ai, Bi = _seg_scan_lane(Ae, Be, lane_idx)
+            LEA = _roll(Ai, 1, axis=1)
+            LEB = _roll(Bi, 1, axis=1)
+            first_lane = lane_idx == 0
+            LEA = jnp.where(first_lane, 1, LEA)
+            LEB = jnp.where(first_lane, 0, LEB)
+            RA = Ai[:, LANES - 1 :]
+            RB = Bi[:, LANES - 1 :]
+            ridx = _iota2((tile_r, 1), 0)
+            RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
+            RPA = _roll(RAi, 1, axis=0)
+            RPB = _roll(RBi, 1, axis=0)
+            first_row = ridx == 0
+            RPA = jnp.where(first_row, 1, RPA)
+            RPB = jnp.where(first_row, 0, RPB)
+
+            carry = scratch[2]
+            row_state = (carry & RPA) | RPB
+            sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)  # 0/1 per element
+            # per-byte s_before = (sb0 & EAw) | EBw in the packed domain
+            sbw = ((sb0 * one) & EAw) | EBw
+            fw = mword & (sbw ^ one)
+            dfirst = jnp.sum(((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32))
+
+            last_row = ridx == tile_r - 1
+            a_tot = jnp.max(jnp.where(last_row, RAi, 0))
+            b_tot = jnp.max(jnp.where(last_row, RBi, 0))
+            new_carry = (carry & a_tot) | b_tot
+
+            if want_mask:
+                out_w = mword
+            else:
+                out_w = jnp.zeros((1, 1), jnp.uint32)
+            return dcount, dfirst, new_carry, new_wc3, out_w
+
+        def cheap_path(_):
+            carry = scratch[2]
+            new_carry = jnp.where(any_nl, 0, carry)
+            new_wc3 = jnp.int32(0)
+            if whole_word:
+                wc3 = (
+                    ((e0[tile_r - 1 :, LANES - 1 :] >> _U(24)) & _U(0xFF))
+                )
+                x8 = wc3
+                w = (
+                    ((x8 >= 0x30) & (x8 <= 0x39))
+                    | ((x8 >= 0x41) & (x8 <= 0x5A))
+                    | ((x8 >= 0x61) & (x8 <= 0x7A))
+                    | (x8 == 0x5F)
+                )
+                new_wc3 = jnp.max(w.astype(jnp.int32))
+            if want_mask:
+                mword = jnp.zeros((tile_r, LANES), jnp.uint32)
+            else:
+                mword = jnp.zeros((1, 1), jnp.uint32)
+            return jnp.int32(0), jnp.int32(0), new_carry, new_wc3, mword
+
+        if want_mask or whole_word:
+            # masks must be written every tile; skip logic still saves the
+            # scan work via cond
+            dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
+                has_cand, full_path, cheap_path, 0
+            )
+        else:
+            dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
+                has_cand, full_path, cheap_path, 0
+            )
+        scratch[0] += dcount
+        scratch[1] += dfirst
+        scratch[2] = new_carry
+        if whole_word:
+            scratch[3] = new_wc3
+        if want_mask:
+            mask_ref[:] = mword
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            count_ref[0] = scratch[0]
+            count_ref[1] = scratch[1]
+
+    return kernel
+
+
+def _pick_tile(R4: int) -> int:
+    # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
+    # overhead (~1.5-2 us/step) dominates below that; 2048 regresses (VMEM
+    # pressure defeats double buffering).
+    for t in (1024, 512, 384, 256, 128):
+        if R4 % t == 0:
+            return t
+    return R4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "interpret"),
+)
+def scan_literal(
+    text32: jax.Array,
+    true_len: jax.Array,
+    *,
+    pattern: bytes,
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = True,
+    interpret: bool = False,
+):
+    """SWAR fused literal scan over the uint32 staged view
+    (dispatch.stage_text_u32): shape (R4 + H4, 128) uint32.
+
+    Returns (match_count i32, matched_line_count i32, mask view (R4*128,)
+    uint32 whose little-endian bytes are the per-byte 0/1 mask)."""
+    rows_total, lanes = text32.shape
+    assert lanes == LANES
+    R4 = rows_total - H4
+    tile_r = _pick_tile(R4)
+    T = R4 // tile_r
+    m = len(pattern)
+    if m == 0 or m > HALO_ROWS * LANES // 2:
+        raise NotImplementedError("pattern length outside kernel support")
+
+    tl = jnp.reshape(true_len.astype(jnp.int32), (1,))
+    kernel = _make_kernel(pattern, case_sensitive, whole_word, want_mask, tile_r)
+
+    out_shape = [jax.ShapeDtypeStruct((2,), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if want_mask:
+        out_shape.append(jax.ShapeDtypeStruct((R4, LANES), jnp.uint32))
+        out_specs.append(
+            pl.BlockSpec((tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (H4, LANES),
+                lambda i, t: ((i + 1) * (tile_r // H4), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tl, text32, text32)
+
+    counts = outs[0]
+    mask = outs[1].reshape(-1) if want_mask else jnp.zeros((LANES,), jnp.uint32)
+    return counts[0], counts[1], mask

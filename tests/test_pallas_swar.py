@@ -1,0 +1,102 @@
+"""SWAR kernel (pallas_swar) vs naive, interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import naive
+from krep_tpu.ops import dispatch, pallas_swar
+
+
+def run_swar(text: bytes, pattern: bytes, **kw):
+    st = dispatch.stage(text)
+    want_mask = kw.pop("want_mask", True)
+    c, l, mask = pallas_swar.scan_literal(
+        st.u32, st.true_len, pattern=pattern, want_mask=want_mask,
+        interpret=True, **kw
+    )
+    starts = None
+    if want_mask:
+        mk = np.asarray(mask).view(np.uint8)
+        starts = np.flatnonzero(mk[: len(text)]).tolist()
+    return int(c), int(l), starts
+
+
+CASES = [
+    (b"abababa", b"aba"),
+    (b"aaaaa", b"aa"),
+    (b"the theme thread\nthe end", b"the"),
+    (b"hello", b"hello"),
+    (b"x" * 100000 + b"needle" + b"y" * 100000, b"needle"),
+    (b"z" * 300000, b"zz"),
+]
+
+
+@pytest.mark.parametrize("text,pat", CASES)
+def test_counts_and_mask(text, pat):
+    c, l, starts = run_swar(text, pat)
+    want = naive.all_starts(text, pat)
+    assert starts == want
+    assert c == len(want)
+    assert l == naive.matched_lines(text, want)
+
+
+@pytest.mark.parametrize("cs", [True, False])
+@pytest.mark.parametrize("ww", [True, False])
+def test_random_corpus_modes(cs, ww):
+    text = naive.gen_corpus(21, 300_000)  # spans two 256KiB tiles
+    for pat in [b"the", b"e", b"TH", b"quick", b"e q", b"ck the"]:
+        c, l, starts = run_swar(text, pat, case_sensitive=cs, whole_word=ww)
+        want = naive.all_starts(text, pat, case_sensitive=cs, whole_word=ww)
+        assert starts == want, (pat, cs, ww)
+        assert c == len(want)
+        assert l == naive.matched_lines(text, want)
+
+
+def test_all_phases():
+    """Matches at every byte phase mod 4 and across element boundaries."""
+    body = bytearray(b"." * 4096)
+    for pos in [0, 1, 2, 3, 125, 126, 127, 128, 129, 510, 511, 512, 513]:
+        body[pos : pos + 5] = b"match"
+    text = bytes(body)
+    c, l, starts = run_swar(text, b"match")
+    want = naive.all_starts(text, b"match")
+    assert starts == want
+
+
+def test_sparse_skip_path():
+    """Tiles without candidates take the cheap path; line carry must still
+    propagate across them."""
+    T = 512 * 512  # one SWAR tile covers 256 KiB
+    text = b"ab" + b" " * T + b"\n" + b" " * T + b"ab ab\n xx ab"
+    c, l, starts = run_swar(text, b"ab")
+    want = naive.all_starts(text, b"ab")
+    assert starts == want
+    assert l == naive.matched_lines(text, want)
+
+
+def test_long_pattern_element_shifts():
+    pat = bytes(range(33, 117))  # 84 bytes: crosses many elements
+    text = b"z" * 70001 + pat + b"z" * 70002 + pat
+    c, l, starts = run_swar(text, pat)
+    assert c == 2
+    assert starts == naive.all_starts(text, pat)
+
+
+def test_case_fold_swar_high_bytes():
+    """SWAR fold must not corrupt bytes ≥ 0x80 or near-Z boundary bytes."""
+    text = bytes([0x40, 0x41, 0x5A, 0x5B, 0x60, 0x61, 0x7A, 0x7B, 0x80, 0xC1, 0xFF, 0x0A]) * 1000
+    for pat in [b"A", b"a", b"\xc1", b"Z", b"["]:
+        c, l, starts = run_swar(text, pat, case_sensitive=False)
+        want = naive.all_starts(text, pat, case_sensitive=False)
+        assert starts == want, pat
+
+
+def test_word_boundary_across_tiles():
+    T = 512 * 512
+    body = bytearray(b" " * (T + 4096))
+    body[T - 2 : T + 3] = b"word_"
+    body[T + 10 : T + 14] = b"word"
+    text = bytes(body)
+    c, l, starts = run_swar(text, b"word", whole_word=True)
+    want = naive.all_starts(text, b"word", whole_word=True)
+    assert starts == want
