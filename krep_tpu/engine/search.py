@@ -45,7 +45,7 @@ class SearchResult:
 _EMPTY_POS = np.zeros((0, 2), dtype=np.int64)
 
 
-def _device_scan_literal(staged, pattern, params, want_mask):
+def _device_scan_literal(staged, pattern, params, want_mask, want_lines=False):
     """Run the fused device scan; returns (all_count, line_count, starts)."""
     from ..ops import dispatch
 
@@ -55,6 +55,7 @@ def _device_scan_literal(staged, pattern, params, want_mask):
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
         want_mask=want_mask,
+        want_lines=want_lines,
     )
     starts = None
     if want_mask:
@@ -130,7 +131,9 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
 
     if params.count_lines_mode:
         # -c: distinct matched lines, capped by -m (krep.c:1331-1351).
-        _, lines, _ = _device_scan_literal(staged, params.pattern, params, want_mask=False)
+        _, lines, _ = _device_scan_literal(
+            staged, params.pattern, params, want_mask=False, want_lines=True
+        )
         count = min(lines, max_count) if max_count is not None else lines
         return SearchResult(count, _EMPTY_POS, n)
 

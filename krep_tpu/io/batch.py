@@ -90,6 +90,7 @@ def scan_batch(params: SearchParams, batch: Batch):
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
         want_mask=True,
+        want_lines=False,  # per-file line accounting happens host-side
     )
     mk = np.asarray(mask)
     if mk.dtype != np.uint8:

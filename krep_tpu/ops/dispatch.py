@@ -130,10 +130,14 @@ def backend_name() -> str:
     return mode
 
 
-def scan_literal_staged(staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask):
+def scan_literal_staged(
+    staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
+    want_lines: bool = True,
+):
     """Fused literal scan via the selected backend (KREP_TPU_BACKEND =
     auto | swar | pallas | xla). Returns (match_count, matched_line_count,
-    mask) where mask's little-endian bytes are the per-byte 0/1 mask."""
+    mask) where mask's little-endian bytes are the per-byte 0/1 mask.
+    matched_line_count is only meaningful when want_lines=True."""
     be = backend_name()
     if be == "swar":
         try:
@@ -146,6 +150,7 @@ def scan_literal_staged(staged: "StagedText", *, pattern, case_sensitive, whole_
                 case_sensitive=case_sensitive,
                 whole_word=whole_word,
                 want_mask=want_mask,
+                want_lines=want_lines,
             )
         except (ImportError, NotImplementedError):
             be = "pallas"

@@ -88,6 +88,8 @@ def _phase_words(pat: bytes, p: int):
 
 
 def _seg_scan_lane(A, B, lane_idx):
+    """Inclusive lane scan of the affine-bool composition
+    (A1,B1)∘(A2,B2) = (A1&A2, (B1&A2)|B2), elem1 earlier. A/B int32 0/1."""
     s = 1
     while s < LANES:
         As = _roll(A, s, axis=1)
@@ -116,7 +118,7 @@ def _seg_scan_rows(A, B, row_idx, nrows):
 
 
 def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
-                 want_mask: bool, tile_r: int):
+                 want_mask: bool, want_lines: bool, tile_r: int):
     from .literal import fold_bytes_host
 
     m = len(pattern)
@@ -253,14 +255,20 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
                 ((mword * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
             )
 
-            # --- matched-line accounting, packed domain ---
+            if not want_lines:
+                out_w = mword if want_mask else jnp.zeros((1, 1), jnp.uint32)
+                return dcount, jnp.int32(0), scratch[2], new_wc3, out_w
+
+            # --- matched-line accounting, packed affine domain ---
+            # s_after = (s_before | match) & ~nl per byte (the "-c" dedup
+            # state, krep.c:1331-1351): composed within each 4-byte word by
+            # a 2-step log-scan on packed bytes, then across elements by the
+            # (A,B) affine-bool lane/row scans.
             one = _U(0x01010101)
             nlw = (swar_has_byte(e0, 0x0A) >> _U(7)) & one   # 1 ⇔ '\n'
-            k = nlw ^ one                                     # keep = ~nl
-            g = mword & k                                     # match surviving its own byte
+            k = nlw ^ one
+            g = mword & k
 
-            # within-word inclusive scan over 4 bytes (2 log steps):
-            # combine (A1,B1)∘(A2,B2) = (A1&A2, (B1&A2)|B2), byte0 earliest
             A = k
             B = g
             As = (A << _U(8)) | _U(0x01)
@@ -296,8 +304,7 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
 
             carry = scratch[2]
             row_state = (carry & RPA) | RPB
-            sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)  # 0/1 per element
-            # per-byte s_before = (sb0 & EAw) | EBw in the packed domain
+            sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
             sbw = ((sb0 * one) & EAw) | EBw
             fw = mword & (sbw ^ one)
             dfirst = jnp.sum(((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32))
@@ -373,7 +380,10 @@ def _pick_tile(R4: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "interpret"),
+    static_argnames=(
+        "pattern", "case_sensitive", "whole_word", "want_mask", "want_lines",
+        "interpret",
+    ),
 )
 def scan_literal(
     text32: jax.Array,
@@ -383,6 +393,7 @@ def scan_literal(
     case_sensitive: bool = True,
     whole_word: bool = False,
     want_mask: bool = True,
+    want_lines: bool = True,
     interpret: bool = False,
 ):
     """SWAR fused literal scan over the uint32 staged view
@@ -400,7 +411,9 @@ def scan_literal(
         raise NotImplementedError("pattern length outside kernel support")
 
     tl = jnp.reshape(true_len.astype(jnp.int32), (1,))
-    kernel = _make_kernel(pattern, case_sensitive, whole_word, want_mask, tile_r)
+    kernel = _make_kernel(
+        pattern, case_sensitive, whole_word, want_mask, want_lines, tile_r
+    )
 
     out_shape = [jax.ShapeDtypeStruct((2,), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
