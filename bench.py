@@ -1,16 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: fixed-string -c scan throughput, GB/s per chip.
+"""Benchmarks against the reference's headline numbers (BASELINE.md).
 
-Mirrors the reference's headline config (BASELINE.md): `krep -c -F the` over
-~1 GB of English-like text (subtitles2016 is not fetchable offline; we
-generate a deterministic English-ish corpus of the same size and verify
-count parity against the reference binary when it is available).
+Default: prints ONE JSON line — config 1, the `krep -c -F the` scan
+throughput over ~1 GiB of English-like text (subtitles2016 is not fetchable
+offline; the corpus is deterministic and count-parity against the reference
+binary is checked when it is available).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+`python bench.py --all` additionally runs BASELINE configs 2-5, one JSON
+line each.
 
-vs_baseline is against the reference's implied 5.7 GB/s end-to-end for
-pattern "the" (BASELINE.md).
+Timing: chained launches with a single final sync and per-iteration
+distinct true_len — the axon tunnel has ~25 ms RTT per sync, an unreliable
+block_until_ready, and appears to cache identical dispatches.
 """
 
 import json
@@ -21,13 +22,16 @@ import time
 
 import numpy as np
 
-BASELINE_GBPS = 5.7  # reference `krep -c -F the`, ~1GB / 0.1757s (README.md:171-175)
+BASELINE_GBPS = 5.7  # reference `krep -c -F the`: ~1GB / 0.1757s (README.md:171-175)
 CORPUS_BYTES = int(os.environ.get("KREP_BENCH_BYTES", 1 << 30))
 PATTERN = b"the"
+PATTERNS_16 = [
+    b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy", b"dog",
+    b"Sherlock", b"time", b"words", b"some", b"then", b"deeply", b"was", b"more",
+]
 
 
 def gen_corpus(path: str, size: int):
-    """Deterministic English-ish corpus, ~32-byte lines like subtitles."""
     if os.path.exists(path) and os.path.getsize(path) == size:
         return
     rng = np.random.default_rng(12345)
@@ -35,7 +39,6 @@ def gen_corpus(path: str, size: int):
         b"the quick brown fox jumps over a lazy dog and then some more words "
         b"it was time for Sherlock to breathe deeply in the theatre"
     ).split()
-    chunk_lines = []
     block = []
     total = 0
     with open(path, "wb") as f:
@@ -50,8 +53,166 @@ def gen_corpus(path: str, size: int):
                 block = []
         if block:
             f.write(b"".join(block))
-        # exact size
         f.truncate(size)
+
+
+def chained_gbps(run_one, n_bytes, K=17, reps=3):
+    """run_one(j) must return a device scalar; chained timing, single sync."""
+    import jax.numpy as jnp
+
+    def timed(k):
+        t0 = time.perf_counter()
+        outs = [run_one(j) for j in range(k)]
+        _ = int(jnp.stack(outs).sum())
+        return time.perf_counter() - t0
+
+    _ = timed(1)  # warm/compile
+    t1 = min(timed(1) for _ in range(reps))
+    tK = min(timed(K) for _ in range(reps))
+    dt = max((tK - t1) / (K - 1), 1e-9)
+    return n_bytes / dt / 1e9
+
+
+def emit(metric, gbps, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def config1(staged, n, data_path):
+    """-c 'the': matched-line count (the reference's headline)."""
+    import jax
+
+    from krep_tpu.ops import dispatch
+
+    def run_one(j):
+        _, lines, _ = dispatch.scan_literal_staged(
+            staged.with_len(n - j),
+            pattern=PATTERN, case_sensitive=True, whole_word=False,
+            want_mask=False, want_lines=True,
+        )
+        return lines
+
+    gbps = chained_gbps(run_one, n)
+    _, lines0, _ = dispatch.scan_literal_staged(
+        staged, pattern=PATTERN, case_sensitive=True, whole_word=False,
+        want_mask=False, want_lines=True,
+    )
+    lines0 = int(lines0)
+    parity = None
+    oracle = "/tmp/krep_oracle/krep"
+    if os.path.exists(oracle):
+        out = subprocess.run(
+            [oracle, "-c", "-t", "1", PATTERN.decode(), data_path],
+            capture_output=True, timeout=600,
+        )
+        parity = bool(int(out.stdout.rsplit(b":", 1)[-1]) == lines0)
+    emit(
+        "fixed-string -c scan throughput (pattern 'the', 1GiB english-like corpus)",
+        gbps,
+        {
+            "line_count": lines0,
+            "count_parity_vs_reference": parity,
+            "backend": jax.default_backend(),
+        },
+    )
+
+
+def config2(staged, n):
+    """-i -w short pattern (memchr-class path), count matches."""
+    from krep_tpu.ops import dispatch
+
+    def run_one(j):
+        c, _, _ = dispatch.scan_literal_staged(
+            staged.with_len(n - j),
+            pattern=b"e", case_sensitive=False, whole_word=True,
+            want_mask=False, want_lines=False,
+        )
+        return c
+
+    emit("-i -w single-char match-count scan (config 2)", chained_gbps(run_one, n))
+
+
+def config3(staged, n):
+    """16 literals fused (Aho-Corasick capability), total match count."""
+    from krep_tpu.ops import pallas_swar
+
+    import jax.numpy as jnp
+
+    pats = tuple(PATTERNS_16)
+
+    def run_one(j):
+        c, _, _ = pallas_swar.scan_multi(
+            staged.u32, jnp.int32(n - j), patterns=pats,
+            case_sensitive=True, whole_word=False,
+            want_mask=False, want_lines=False,
+        )
+        return c
+
+    emit("16-literal multi-pattern fused scan (config 3)", chained_gbps(run_one, n))
+
+
+def config4(data_path):
+    """POSIX ERE (host glibc regexec — same engine as the reference)."""
+    from krep_tpu import SearchParams, search_file
+
+    p = SearchParams(patterns=(b"[A-Z][a-z]+ing",), use_regex=True,
+                     count_mode=True, only_matching=True)
+    sz = min(os.path.getsize(data_path), 256 << 20)
+    data = open(data_path, "rb").read(sz)
+    from krep_tpu.engine.regex_engine import search_regex
+
+    t0 = time.perf_counter()
+    r = search_regex(p, data)
+    dt = time.perf_counter() - t0
+    emit("POSIX ERE '[A-Z][a-z]+ing' scan (config 4, host regexec)",
+         sz / dt / 1e9, {"matches": r.count})
+
+
+def config5():
+    """-r --gitignore over a synthetic source tree (batched small files)."""
+    import io
+    import shutil
+
+    from krep_tpu import cli
+
+    tree = "corpus/bench_tree"
+    if not os.path.exists(tree):
+        rng = np.random.default_rng(7)
+        os.makedirs(tree, exist_ok=True)
+        words = b"the quick brown fox def class import return self value".split()
+        for d in range(20):
+            sub = os.path.join(tree, f"pkg{d:02d}")
+            os.makedirs(sub, exist_ok=True)
+            for i in range(50):
+                k = rng.integers(5_000, 40_000)
+                lines = []
+                t = 0
+                while t < k:
+                    ln = b" ".join(words[j] for j in rng.integers(0, len(words), 6))
+                    lines.append(ln)
+                    t += len(ln) + 1
+                with open(os.path.join(sub, f"m{i:03d}.py"), "wb") as f:
+                    f.write(b"\n".join(lines))
+        with open(os.path.join(tree, ".gitignore"), "w") as f:
+            f.write("pkg19/\n")
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(tree) for f in fs
+    )
+    cli.main(["-r", "--gitignore", "-c", "the", tree], out=io.BytesIO())  # warm
+    out = io.BytesIO()
+    t0 = time.perf_counter()
+    cli.main(["-r", "--gitignore", "-c", "the", tree], out=out)
+    dt = time.perf_counter() - t0
+    emit("-r --gitignore source-tree scan (config 5, end-to-end warm)",
+         total / dt / 1e9, {"files": out.getvalue().count(b"\n"), "seconds": round(dt, 3)})
 
 
 def main():
@@ -59,75 +220,18 @@ def main():
     path = os.path.join("corpus", f"bench_{CORPUS_BYTES}.txt")
     gen_corpus(path, CORPUS_BYTES)
 
-    import jax
-
-    from krep_tpu import SearchParams
     from krep_tpu.ops import dispatch
 
     data = np.memmap(path, dtype=np.uint8, mode="r")
     n = data.shape[0]
-
-    params = SearchParams(patterns=(PATTERN,), count_mode=True)
-
-    # Stage once (text resident in HBM — the analogue of the reference's
-    # warm page cache), then time the device scan. Timing is chained with a
-    # single final sync: the tunnel RTT (~25 ms on axon) would otherwise
-    # dominate, and block_until_ready does not reliably sync there.
-    import jax.numpy as jnp
-
     staged = dispatch.stage(data)
 
-    def run_chain(k, salt=0):
-        # distinct true_len per iteration defeats any result caching in the
-        # tunnel; the few trailing bytes don't affect the line count here
-        outs = []
-        for j in range(k):
-            count, lines, _ = dispatch.scan_literal_staged(
-                staged.with_len(n - salt - j),
-                pattern=PATTERN,
-                case_sensitive=True,
-                whole_word=False,
-                want_mask=False,
-            )
-            outs.append(lines)
-        stacked = jnp.stack(outs)
-        return int(stacked[0]), int(jnp.sum(stacked))  # one sync
-
-    lines, _ = run_chain(1)  # compile + warm
-
-    def timed(k):
-        t0 = time.perf_counter()
-        run_chain(k)
-        return time.perf_counter() - t0
-
-    K = 17
-    t1 = min(timed(1) for _ in range(3))
-    tK = min(timed(K) for _ in range(3))
-    dt = max((tK - t1) / (K - 1), 1e-9)
-    gbps = n / dt / 1e9
-
-    # parity check vs reference binary if present
-    parity = None
-    oracle = "/tmp/krep_oracle/krep"
-    if os.path.exists(oracle):
-        out = subprocess.run(
-            [oracle, "-c", "-t", "1", PATTERN.decode(), path],
-            capture_output=True,
-            timeout=600,
-        )
-        ref = int(out.stdout.rsplit(b":", 1)[-1])
-        parity = bool(ref == lines)
-
-    result = {
-        "metric": "fixed-string -c scan throughput (pattern 'the', 1GiB english-like corpus)",
-        "value": round(gbps, 2),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
-        "line_count": lines,
-        "count_parity_vs_reference": parity,
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(result))
+    config1(staged, n, path)
+    if "--all" in sys.argv:
+        config2(staged, n)
+        config3(staged, n)
+        config4(path)
+        config5()
 
 
 if __name__ == "__main__":

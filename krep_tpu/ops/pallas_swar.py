@@ -117,14 +117,20 @@ def _seg_scan_rows(A, B, row_idx, nrows):
     return A, B
 
 
-def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
-                 want_mask: bool, want_lines: bool, tile_r: int):
+def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
+                 whole_word: bool, want_mask: bool, want_lines: bool,
+                 tile_r: int):
+    """K patterns fused in one pass over the text: per-pattern packed match
+    words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
+    counts, test_multiple_patterns.c:345-471), union mask for line
+    accounting and host-side attribution."""
     from .literal import fold_bytes_host
 
-    m = len(pattern)
-    pat = pattern if case_sensitive else fold_bytes_host(pattern)
-    phases = [_phase_words(pat, p) for p in range(4)]
-    max_t = max(t for ph in phases for (t, _, _) in ph)
+    pats = tuple(
+        p if case_sensitive else fold_bytes_host(p) for p in patterns
+    )
+    lens = tuple(len(p) for p in pats)
+    phase_tab = [[_phase_words(p, ph) for ph in range(4)] for p in pats]
 
     def kernel(tl_ref, main_ref, halo_ref, count_ref, *rest):
         if want_mask:
@@ -167,17 +173,19 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
 
         e0 = E(0)
 
-        # cheap candidate filter: first-word compare per phase
-        def first_word_mask(p):
-            t, mk, vl = phases[p][0]
+        # cheap candidate filter: first-word compare per (pattern, phase)
+        def first_word_mask(k, p):
+            t, mk, vl = phase_tab[k][p][0]
             w = E(t)
             if mk == 0xFFFFFFFF:
                 return w == _U(vl)
             return (w & _U(mk)) == _U(vl)
 
-        cand = first_word_mask(0)
-        for p in range(1, 4):
-            cand = cand | first_word_mask(p)
+        cand = None
+        for k in range(len(pats)):
+            for p in range(4):
+                fw = first_word_mask(k, p)
+                cand = fw if cand is None else (cand | fw)
         has_cand = jnp.any(cand)
 
         true_len = tl_ref[0]
@@ -186,25 +194,16 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
         any_nl = jnp.any(nl_flags != _U(0))
 
         def full_path(_):
-            # per-phase masks, packed immediately as bytes of one uint32
-            # (byte p == 1 ⇔ match starts at byte 4e+p) to keep the VMEM
-            # high-water low — everything below runs in this packed domain.
+            # per-(pattern, phase) masks, packed immediately as bytes of one
+            # uint32 (byte p == 1 ⇔ match starts at byte 4e+p) to keep the
+            # VMEM high-water low — everything below runs packed.
             gbase = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
-            mword = jnp.zeros(shape, jnp.uint32)
-            for p in range(4):
-                acc = first_word_mask(p)
-                for (t, mk, vl) in phases[p][1:]:
-                    w = E(t)
-                    if mk == 0xFFFFFFFF:
-                        acc = acc & (w == _U(vl))
-                    else:
-                        acc = acc & ((w & _U(mk)) == _U(vl))
-                acc = acc & (gbase + p <= true_len - m)
-                mword = mword | (acc.astype(jnp.uint32) << _U(8 * p))
+            one = _U(0x01010101)
 
             new_wc3 = jnp.int32(0)
+            wcb = wc0 = beforew = None
+            ew_cache = {}
             if whole_word:
-                # packed word-char flags over tile+halo, then byte-shifts
                 def is_word_b(x8):
                     return (
                         ((x8 >= 0x30) & (x8 <= 0x39))
@@ -225,35 +224,61 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
                 Uu = _roll(L, 1, axis=0)
                 prev_el = jnp.where(lane_idx > 0, L, Uu)
                 at00 = (row_idx == 0) & (lane_idx == 0)
-                prev_el = jnp.where(at00, _U(0x1000000) * scratch[3].astype(jnp.uint32), prev_el)
+                prev_el = jnp.where(
+                    at00, _U(0x1000000) * scratch[3].astype(jnp.uint32), prev_el
+                )
                 beforew = (wc0 << _U(8)) | (prev_el >> _U(24))
-                # after: flags shifted left by m bytes (same machinery as W_j)
-                qa, ra = divmod(m, 4)
-
-                def EW(t):
-                    rs, ls = divmod(t, LANES)
-                    if ls == 0:
-                        return _roll(wcb, -rs, axis=0)[:tile_r] if rs else wc0
-                    rolled = _roll(wcb, -ls, axis=1)
-                    v0 = _roll(rolled, -rs, axis=0)[:tile_r] if rs else rolled[:tile_r]
-                    v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
-                    return jnp.where(lane_idx < LANES - ls, v0, v1)
-
-                if ra == 0:
-                    afterw = EW(qa)
-                else:
-                    afterw = (EW(qa) >> _U(8 * ra)) | (EW(qa + 1) << _U(32 - 8 * ra))
-                one = _U(0x01010101)
-                mword = mword & (~beforew) & (~afterw) & one
                 sel = (row_idx == tile_r - 1) & (lane_idx == LANES - 1)
                 new_wc3 = jnp.max(
                     jnp.where(sel, (wc0 >> _U(24)).astype(jnp.int32), 0)
                 )
 
-            # match count: per-word byte-sum via multiply-high
-            dcount = jnp.sum(
-                ((mword * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
-            )
+                def EW(t):
+                    if t in ew_cache:
+                        return ew_cache[t]
+                    rs, ls = divmod(t, LANES)
+                    if ls == 0:
+                        v = _roll(wcb, -rs, axis=0)[:tile_r] if rs else wc0
+                    else:
+                        rolled = _roll(wcb, -ls, axis=1)
+                        v0 = (
+                            _roll(rolled, -rs, axis=0)[:tile_r]
+                            if rs
+                            else rolled[:tile_r]
+                        )
+                        v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
+                        v = jnp.where(lane_idx < LANES - ls, v0, v1)
+                    ew_cache[t] = v
+                    return v
+
+            mword = jnp.zeros(shape, jnp.uint32)  # union across patterns
+            dcount = jnp.int32(0)
+            for kk in range(len(pats)):
+                m_k = lens[kk]
+                mw_k = jnp.zeros(shape, jnp.uint32)
+                for p in range(4):
+                    acc = first_word_mask(kk, p)
+                    for (t, mk, vl) in phase_tab[kk][p][1:]:
+                        w = E(t)
+                        if mk == 0xFFFFFFFF:
+                            acc = acc & (w == _U(vl))
+                        else:
+                            acc = acc & ((w & _U(mk)) == _U(vl))
+                    acc = acc & (gbase + p <= true_len - m_k)
+                    mw_k = mw_k | (acc.astype(jnp.uint32) << _U(8 * p))
+                if whole_word:
+                    qa, ra = divmod(m_k, 4)
+                    if ra == 0:
+                        afterw = EW(qa)
+                    else:
+                        afterw = (EW(qa) >> _U(8 * ra)) | (
+                            EW(qa + 1) << _U(32 - 8 * ra)
+                        )
+                    mw_k = mw_k & (~beforew) & (~afterw) & one
+                dcount = dcount + jnp.sum(
+                    ((mw_k * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+                )
+                mword = mword | mw_k
 
             if not want_lines:
                 out_w = mword if want_mask else jnp.zeros((1, 1), jnp.uint32)
@@ -368,23 +393,24 @@ def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool,
     return kernel
 
 
-def _pick_tile(R4: int) -> int:
+def _pick_tile(R4: int, n_patterns: int = 1) -> int:
     # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
     # overhead (~1.5-2 us/step) dominates below that; 2048 regresses (VMEM
-    # pressure defeats double buffering).
+    # pressure defeats double buffering). Multi-pattern kernels keep more
+    # live arrays (E-shift cache + per-pattern words), so scale the tile
+    # down with K to stay inside the 16 MiB scoped-VMEM limit.
+    if n_patterns <= 1:
+        cap = 1024
+    elif n_patterns <= 8:
+        cap = 512
+    else:
+        cap = 256
     for t in (1024, 512, 384, 256, 128):
-        if R4 % t == 0:
+        if t <= cap and R4 % t == 0:
             return t
     return R4
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "pattern", "case_sensitive", "whole_word", "want_mask", "want_lines",
-        "interpret",
-    ),
-)
 def scan_literal(
     text32: jax.Array,
     true_len: jax.Array,
@@ -396,23 +422,56 @@ def scan_literal(
     want_lines: bool = True,
     interpret: bool = False,
 ):
-    """SWAR fused literal scan over the uint32 staged view
-    (dispatch.stage_text_u32): shape (R4 + H4, 128) uint32.
+    """Single-pattern SWAR scan — see scan_multi."""
+    return scan_multi(
+        text32,
+        true_len,
+        patterns=(pattern,),
+        case_sensitive=case_sensitive,
+        whole_word=whole_word,
+        want_mask=want_mask,
+        want_lines=want_lines,
+        interpret=interpret,
+    )
 
-    Returns (match_count i32, matched_line_count i32, mask view (R4*128,)
-    uint32 whose little-endian bytes are the per-byte 0/1 mask)."""
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "patterns", "case_sensitive", "whole_word", "want_mask", "want_lines",
+        "interpret",
+    ),
+)
+def scan_multi(
+    text32: jax.Array,
+    true_len: jax.Array,
+    *,
+    patterns: tuple[bytes, ...],
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = True,
+    want_lines: bool = True,
+    interpret: bool = False,
+):
+    """SWAR fused K-pattern scan over the uint32 staged view
+    (dispatch.StagedText.u32): shape (R4 + H4, 128) uint32.
+
+    Returns (total_match_count i32, matched_line_count i32 over the UNION
+    of matches, union mask view (R4*128,) uint32 whose little-endian bytes
+    are the per-byte "≥1 pattern starts here" 0/1 mask)."""
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
-    tile_r = _pick_tile(R4)
+    tile_r = _pick_tile(R4, len(patterns))
     T = R4 // tile_r
-    m = len(pattern)
-    if m == 0 or m > HALO_ROWS * LANES // 2:
+    if not patterns or any(
+        len(p) == 0 or len(p) > HALO_ROWS * LANES // 2 for p in patterns
+    ):
         raise NotImplementedError("pattern length outside kernel support")
 
     tl = jnp.reshape(true_len.astype(jnp.int32), (1,))
     kernel = _make_kernel(
-        pattern, case_sensitive, whole_word, want_mask, want_lines, tile_r
+        tuple(patterns), case_sensitive, whole_word, want_mask, want_lines, tile_r
     )
 
     out_shape = [jax.ShapeDtypeStruct((2,), jnp.int32)]
