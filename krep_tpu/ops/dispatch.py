@@ -138,6 +138,23 @@ def scan_literal_staged(
     auto | swar | pallas | xla). Returns (match_count, matched_line_count,
     mask) where mask's little-endian bytes are the per-byte 0/1 mask.
     matched_line_count is only meaningful when want_lines=True."""
+    from ..utils import profiling
+
+    with profiling.scan_span(f"scan[{backend_name()}] m={len(pattern)}", staged.n or 0):
+        return _scan_literal_staged(
+            staged,
+            pattern=pattern,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word,
+            want_mask=want_mask,
+            want_lines=want_lines,
+        )
+
+
+def _scan_literal_staged(
+    staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
+    want_lines: bool = True,
+):
     be = backend_name()
     if be == "swar":
         try:
