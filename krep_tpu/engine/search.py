@@ -109,6 +109,43 @@ def _memchr_short_o(params: SearchParams, text) -> SearchResult:
     return SearchResult(len(kept), positions, n)
 
 
+def _search_single_literal_sharded(params: SearchParams, text, policy) -> SearchResult:
+    from ..parallel import mesh
+
+    m = len(params.pattern)
+    n = len(text)
+    max_count = params.max_count
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+
+    need_positions = params.track_positions and not params.count_matches_mode
+    want_mask = need_positions or (
+        not params.count_lines_mode and policy is not MatchPolicy.ALL
+    )
+    count, lines, starts = mesh.sharded_scan(
+        data,
+        params.pattern,
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        want_mask=want_mask,
+    )
+    if params.count_lines_mode:
+        c = min(lines, max_count) if max_count is not None else lines
+        return SearchResult(c, _EMPTY_POS, n)
+    if not want_mask:
+        c = min(count, max_count) if max_count is not None else count
+        return SearchResult(c, _EMPTY_POS, n)
+    starts = resolve.apply_policy(starts, m, policy)
+    starts = resolve.truncate_max_count(starts, max_count)
+    if params.count_matches_mode:
+        return SearchResult(len(starts), _EMPTY_POS, n)
+    positions = np.stack([starts, starts + m], axis=1).astype(np.int64)
+    return SearchResult(len(starts), positions, n)
+
+
 def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
     from ..ops import dispatch
 
@@ -126,6 +163,13 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
 
     policy = sel.policy(params.only_matching)
     max_count = params.max_count
+
+    import jax
+
+    if jax.device_count() > 1 and n >= (1 << 16):
+        # multi-chip: shard bytes across the mesh (the reference's thread
+        # pool analogue, krep.c:2851-2905)
+        return _search_single_literal_sharded(params, text, policy)
 
     staged = dispatch.stage(text)
 

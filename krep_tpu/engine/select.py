@@ -41,6 +41,21 @@ _POLICY = {
 }
 
 
+# human names, mirror of get_algorithm_name (krep.c:1964-1996)
+_ALGO_NAMES = {
+    Algorithm.MEMCHR: "memchr",
+    Algorithm.MEMCHR_SHORT: "memchr-short",
+    Algorithm.BOYER_MOORE: "Boyer-Moore-Horspool",
+    Algorithm.KMP: "Knuth-Morris-Pratt",
+    Algorithm.SSE42: "SSE4.2",
+    Algorithm.AVX2: "AVX2",
+    Algorithm.AVX512: "AVX-512",
+    Algorithm.NEON: "NEON",
+    Algorithm.AHO_CORASICK: "Aho-Corasick",
+    Algorithm.REGEX: "regex",
+}
+
+
 @dataclass(frozen=True)
 class Selection:
     algorithm: Algorithm
@@ -48,6 +63,13 @@ class Selection:
     def policy(self, only_matching: bool) -> MatchPolicy:
         d, o = _POLICY[self.algorithm]
         return o if only_matching else d
+
+    @property
+    def name(self) -> str:
+        """Diagnostic name — mirror of get_algorithm_name (krep.c:1964-1996).
+        On TPU this names the emulated *semantics*, not the executing kernel
+        (which is always the dense scan)."""
+        return _ALGO_NAMES[self.algorithm]
 
 
 def is_repetitive_pattern(pattern: bytes) -> bool:

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
+BATCH_BYTES = 8 * 1024 * 1024  # output batch size (krep.c:520)
+
 RESET = b"\033[0m"
 FILENAME = b"\033[1;38;5;81m"
 SEPARATOR = b"\033[38;5;244m"
@@ -57,7 +59,10 @@ def print_only_matching(
     linenos = np.searchsorted(nl, starts, side="left") + 1
 
     fn = filename.encode() if filename is not None else None
+    # batched emission, mirroring the reference's 8MB O_BATCH buffer
+    # (krep.c:520-522, 697-706)
     parts = []
+    acc = 0
     for (s, e), ln in zip(positions.tolist(), linenos.tolist()):
         match_text = buf[s:e].tobytes().replace(b"\n", b" ")
         if color:
@@ -70,6 +75,10 @@ def print_only_matching(
             if fn is not None:
                 parts.append(fn + b":")
             parts.append(str(ln).encode() + b":" + match_text + b"\n")
+        acc += len(parts[-1])
+        if acc >= BATCH_BYTES:
+            out.write(b"".join(parts))
+            parts, acc = [], 0
     out.write(b"".join(parts))
 
 
@@ -93,6 +102,7 @@ def print_matching_lines(
 
     fn = filename.encode() if filename is not None else None
     parts = []
+    acc = 0
     last_line = -1
     i = 0
     k = len(positions)
@@ -132,6 +142,10 @@ def print_matching_lines(
             parts.append(RESET + b"\n")
         else:
             parts.append(buf[ls:le].tobytes() + b"\n")
+        acc += le - ls + 32
+        if acc >= BATCH_BYTES:
+            out.write(b"".join(parts))
+            parts, acc = [], 0
     out.write(b"".join(parts))
 
 

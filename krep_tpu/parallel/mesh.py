@@ -39,11 +39,16 @@ def build_shards(data: np.ndarray, n_shards: int, halo: int) -> tuple[np.ndarray
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "mesh"),
+    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mesh"),
 )
-def _sharded_stats(slab, shard_len, true_len, *, pattern, case_sensitive, whole_word, mesh):
+def _sharded_stats(
+    slab, shard_len, true_len, *, pattern, case_sensitive, whole_word,
+    want_mask, mesh,
+):
     """slab: (D, S+halo) uint8 sharded over 'data'. Returns per-shard
-    (all_count, line_count_local, lead, trail, any, has_nl) stacked (D,)."""
+    (all_count, line_count_local, lead, trail, any, has_nl) stacked (D,),
+    plus the per-shard start mask (D, S+halo) u8 when want_mask (halo
+    columns are zeroed — only owned starts are flagged)."""
 
     def per_shard(block, shard_len, true_len):
         block = block[0]  # (S+halo,)
@@ -66,7 +71,7 @@ def _sharded_stats(slab, shard_len, true_len, *, pattern, case_sensitive, whole_
         owned = jnp.where(idx < limit, block, jnp.uint8(0))
         cnt, lead, trail, anym, hasnl = literal.shard_line_stats(mask, owned)
         total = jax.lax.psum(all_count, "data")
-        return (
+        outs = (
             total[None],
             cnt[None],
             lead[None],
@@ -74,14 +79,20 @@ def _sharded_stats(slab, shard_len, true_len, *, pattern, case_sensitive, whole_
             anym[None],
             hasnl[None],
         )
+        if want_mask:
+            outs = outs + (mask.astype(jnp.uint8)[None, :],)
+        return outs
 
     from jax import shard_map
 
+    out_specs = (P("data"),) * 6
+    if want_mask:
+        out_specs = out_specs + (P("data", None),)
     f = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P("data", None), P(), P()),
-        out_specs=(P("data"),) * 6,
+        out_specs=out_specs,
     )
     return f(slab, shard_len, true_len)
 
@@ -102,15 +113,19 @@ def combine_line_counts(local_counts, leads, trails, anys, has_nls) -> int:
     return total
 
 
-def sharded_counts(
+def sharded_scan(
     data: np.ndarray,
     pattern: bytes,
     *,
     case_sensitive=True,
     whole_word=False,
+    want_mask=False,
     mesh: Mesh | None = None,
 ):
-    """Scan bytes across all devices; returns (match_count, line_count)."""
+    """Scan bytes across all devices. Returns (match_count, line_count,
+    starts) — starts is a sorted int64 array of match-start offsets when
+    want_mask, else None. The analogue of the reference's per-chunk
+    match_result_merge with offset rebase (krep.c:2970-2980)."""
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs, ("data",))
@@ -127,11 +142,35 @@ def sharded_counts(
         pattern=pattern,
         case_sensitive=case_sensitive,
         whole_word=whole_word,
+        want_mask=want_mask,
         mesh=mesh,
     )
-    total, cnts, leads, trails, anys, hasnls = map(np.asarray, out)
+    total, cnts, leads, trails, anys, hasnls = map(np.asarray, out[:6])
     lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
-    return int(total[0]), int(lines)
+    starts = None
+    if want_mask:
+        masks = np.asarray(out[6])  # (D, S+halo); halo cols already zeroed
+        flat = np.flatnonzero(masks)
+        rows, cols = np.divmod(flat, masks.shape[1])
+        starts = (rows.astype(np.int64) * shard + cols).astype(np.int64)
+        starts.sort()
+    return int(total[0]), int(lines), starts
+
+
+def sharded_counts(
+    data: np.ndarray,
+    pattern: bytes,
+    *,
+    case_sensitive=True,
+    whole_word=False,
+    mesh: Mesh | None = None,
+):
+    """Back-compat: (match_count, line_count)."""
+    c, l, _ = sharded_scan(
+        data, pattern, case_sensitive=case_sensitive, whole_word=whole_word,
+        mesh=mesh,
+    )
+    return c, l
 
 
 def dryrun(n_devices: int) -> None:

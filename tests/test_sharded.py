@@ -32,6 +32,33 @@ def test_sharded_vs_single(pat):
     assert lc == naive.matched_lines(text, starts), pat
 
 
+def test_search_string_routes_to_mesh():
+    """search_string on ≥64KiB inputs under a multi-device backend goes
+    through the sharded path; results must equal naive/oracle semantics."""
+    from krep_tpu import SearchParams, search_string
+
+    text = naive.gen_english(8, 200_000)
+    # positions mode (bm semantics: ALL)
+    p = SearchParams(patterns=(b"the",), algo_override="bm")
+    r = search_string(p, text)
+    want = naive.all_starts(text, b"the")
+    assert r.positions[:, 0].tolist() == want
+    # count lines
+    p2 = SearchParams(patterns=(b"the",), count_mode=True)
+    r2 = search_string(p2, text)
+    assert r2.count == naive.matched_lines(text, want)
+    # nonoverlap policy + max_count through the sharded path
+    p3 = SearchParams(patterns=(b"aa",), algo_override="kmp", only_matching=True, max_count=7)
+    r3 = search_string(p3, text)
+    g = naive.greedy_nonoverlap(naive.all_starts(text, b"aa"), 2)[:7]
+    assert r3.positions[:, 0].tolist() == g
+    # whole word + case-insensitive
+    p4 = SearchParams(patterns=(b"THE",), case_sensitive=False, whole_word=True,
+                      count_mode=True, only_matching=True)
+    r4 = search_string(p4, text)
+    assert r4.count == len(naive.all_starts(text, b"THE", case_sensitive=False, whole_word=True))
+
+
 def test_boundary_spanning_lines():
     """Lines and matches that straddle shard boundaries are counted once."""
     import jax
