@@ -20,6 +20,7 @@ loop byte-for-byte:
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -103,6 +104,39 @@ def _is_word_byte(c: int) -> bool:
     )
 
 
+PARALLEL_MIN_BYTES = 8 << 20  # below this, fork overhead dominates
+
+
+def _worker_chunk(args):
+    """Run the sequential loop over one line-aligned chunk. Executed in a
+    forked worker; `_G` holds (data, params) via copy-on-write."""
+    lo, hi = args
+    data, params = _G
+    r = _search_regex_seq(params, data[lo:hi])
+    return r.count, (r.positions + lo).tolist()
+
+
+_G = None
+
+
+def _parallel_chunks(n: int, data: bytes, workers: int):
+    """Line-aligned chunk ranges: since REG_NEWLINE regexes without a
+    literal newline byte cannot match across '\\n', cutting at line
+    boundaries is exact (unlike the reference's overlap-less thread chunks,
+    which silently miss boundary matches — krep.c:2837-2846)."""
+    target = max(n // workers, 1 << 20)
+    ranges = []
+    lo = 0
+    while lo < n:
+        hi = min(lo + target, n)
+        if hi < n:
+            nl = data.find(b"\n", hi)
+            hi = n if nl == -1 else nl + 1
+        ranges.append((lo, hi))
+        lo = hi
+    return ranges
+
+
 def search_regex(params: SearchParams, text) -> "SearchResult":
     from .search import SearchResult, _EMPTY_POS
 
@@ -111,6 +145,95 @@ def search_regex(params: SearchParams, text) -> "SearchResult":
     else:
         data = bytes(text)
     n = len(data)
+
+    pattern_src = build_regex_source(params)
+    can_parallel = (
+        n >= PARALLEL_MIN_BYTES
+        and b"\n" not in pattern_src
+        and os.cpu_count() and os.cpu_count() > 1
+        and hasattr(os, "fork")
+    )
+    if can_parallel:
+        try:
+            return _search_regex_parallel(params, data)
+        except Exception:
+            pass  # fall back to sequential on any pool failure
+    return _search_regex_seq(params, data)
+
+
+def _search_regex_parallel(params: SearchParams, data: bytes):
+    import multiprocessing as mp
+
+    from .search import SearchResult, _EMPTY_POS
+
+    # validate the regex in-process first so compile errors raise here
+    cflags = REG_EXTENDED | REG_NEWLINE | (0 if params.case_sensitive else REG_ICASE)
+    PosixRegex(build_regex_source(params), cflags)
+
+    n = len(data)
+    workers = min(os.cpu_count() or 1, 32)
+    ranges = _parallel_chunks(n, data, workers)
+
+    global _G
+    _G = (data, params)
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(min(workers, len(ranges))) as pool:
+            results = pool.map(_worker_chunk, ranges)
+    finally:
+        _G = None
+
+    # chunks are line-aligned, so per-chunk counts/line-dedups are
+    # independent; -m truncates the merged stream in order.
+    mc = params.effective_max_count
+    total = 0
+    positions = []
+    for cnt, pos in results:
+        if total >= mc:
+            break
+        take = min(cnt, mc - total)
+        total += take
+        if pos:
+            positions.extend(pos[:take])
+    pos_arr = (
+        np.asarray(positions, dtype=np.int64).reshape(-1, 2)
+        if positions
+        else _EMPTY_POS
+    )
+    return SearchResult(total, pos_arr, n)
+
+
+def _search_regex_seq(params: SearchParams, data: bytes) -> "SearchResult":
+    from .search import SearchResult, _EMPTY_POS
+
+    n = len(data)
+    # Native C loop (krep_tpu/native/runtime.c): same algorithm, no
+    # per-match Python round trip. The in-process compile below validates
+    # the pattern first so compile errors carry the glibc message.
+    try:
+        from ..native import runtime as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        cflags = REG_EXTENDED | REG_NEWLINE | (
+            0 if params.case_sensitive else REG_ICASE
+        )
+        src = build_regex_source(params)
+        PosixRegex(src, cflags)  # raises RegexError with the real message
+        if params.max_count == 0 and (params.count_lines_mode or params.track_positions):
+            return SearchResult(0, _EMPTY_POS, n)
+        count, positions = _native.regex_search(
+            src,
+            bytes(data),
+            cflags,
+            params.whole_word,
+            params.count_lines_mode,
+            params.track_positions,
+            params.effective_max_count,
+        )
+        if not params.track_positions or params.count_lines_mode:
+            positions = _EMPTY_POS
+        return SearchResult(count, positions, n)
 
     cflags = REG_EXTENDED | REG_NEWLINE | (0 if params.case_sensitive else REG_ICASE)
     rx = PosixRegex(build_regex_source(params), cflags)

@@ -10,8 +10,12 @@
  * environment).
  */
 
+#define _GNU_SOURCE /* memrchr */
+#include <regex.h>
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
+#include <string.h>
 
 /* Greedy left-to-right non-overlap selection from sorted all-start
  * positions. Mirrors KMP (krep.c:1741), BMH -o (krep.c:1371-1374),
@@ -59,6 +63,138 @@ int64_t krep_memchr_short_o_walk(const int64_t *cands,
     }
     return kept;
 }
+
+/* ---- POSIX ERE scan loop (mirror of regex_search, krep.c:1389-1579) ----
+ *
+ * The whole per-match loop runs in C: glibc regexec with REG_STARTEND,
+ * REG_NOTBOL unless at a line start, zero-length matches advance one byte,
+ * optional whole-word double-check (advance so+1 on failure), -c line dedup
+ * with skip-to-next-line, max_count early exit. Positions are appended to a
+ * growable malloc'd array handed back to Python (krep_free releases it).
+ */
+
+static int is_word_c(unsigned char c)
+{
+    return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+           (c >= 'a' && c <= 'z') || c == '_';
+}
+
+typedef struct {
+    int64_t count;
+    int64_t n_pos;
+    int64_t *pos; /* (start, end) pairs */
+    int error;    /* 0 ok; 1 compile error; 2 exec error */
+} krep_regex_result;
+
+int64_t krep_regex_search(const char *pattern_z, const char *text,
+                          int64_t text_len, int cflags, int whole_word,
+                          int count_lines_mode, int track_positions,
+                          int64_t max_count, krep_regex_result *out)
+{
+    out->count = 0;
+    out->n_pos = 0;
+    out->pos = NULL;
+    out->error = 0;
+
+    regex_t rx;
+    if (regcomp(&rx, pattern_z, cflags) != 0) {
+        out->error = 1;
+        return -1;
+    }
+
+    int64_t cap = 0;
+    int64_t count = 0;
+    int64_t cur = 0;
+    int64_t last_line = -1;
+
+    if (text_len == 0) {
+        regmatch_t m;
+        if (regexec(&rx, "", 1, &m, 0) == 0) {
+            count = 1;
+            if (track_positions) {
+                out->pos = malloc(2 * sizeof(int64_t));
+                out->pos[0] = 0;
+                out->pos[1] = 0;
+                out->n_pos = 1;
+            }
+        }
+        regfree(&rx);
+        out->count = count;
+        return count;
+    }
+
+    while (cur < text_len) {
+        regmatch_t pm;
+        pm.rm_so = 0;
+        pm.rm_eo = (regoff_t)(text_len - cur);
+        int at_line_start = (cur == 0) || (text[cur - 1] == '\n');
+        int eflags = REG_STARTEND | (at_line_start ? 0 : REG_NOTBOL);
+        int rc = regexec(&rx, text + cur, 1, &pm, eflags);
+        if (rc == REG_NOMATCH)
+            break;
+        if (rc != 0) {
+            out->error = 2;
+            break;
+        }
+        if (pm.rm_so < 0 || pm.rm_eo < pm.rm_so)
+            break;
+        int64_t start = cur + pm.rm_so;
+        int64_t end = cur + pm.rm_eo;
+
+        if (whole_word) {
+            int before_ok = (start == 0) || !is_word_c((unsigned char)text[start - 1]);
+            int after_ok = (end >= text_len) || !is_word_c((unsigned char)text[end]);
+            if (!(before_ok && after_ok)) {
+                cur = cur + pm.rm_so + 1;
+                continue;
+            }
+        }
+
+        if (count_lines_mode) {
+            const char *ls = memrchr(text, '\n', (size_t)start);
+            int64_t line_start = ls ? (int64_t)(ls - text) + 1 : 0;
+            if (line_start != last_line) {
+                count++;
+                last_line = line_start;
+                if (count >= max_count)
+                    break;
+                const char *le = memchr(text + line_start, '\n',
+                                        (size_t)(text_len - line_start));
+                cur = le ? (int64_t)(le - text) + 1 : text_len;
+                continue;
+            }
+        } else {
+            count++;
+            if (track_positions) {
+                if (out->n_pos >= cap) {
+                    cap = cap ? cap * 2 : 4096;
+                    int64_t *np = realloc(out->pos, (size_t)cap * 2 * sizeof(int64_t));
+                    if (!np) {
+                        out->error = 2;
+                        break;
+                    }
+                    out->pos = np;
+                }
+                out->pos[out->n_pos * 2] = start;
+                out->pos[out->n_pos * 2 + 1] = end;
+                out->n_pos++;
+            }
+        }
+        if (count >= max_count)
+            break;
+        int64_t adv = (pm.rm_so == pm.rm_eo) ? pm.rm_so + 1 : pm.rm_eo;
+        if (cur + adv <= cur)
+            adv = 1;
+        cur += adv;
+        if (cur > text_len)
+            cur = text_len;
+    }
+    regfree(&rx);
+    out->count = count;
+    return count;
+}
+
+void krep_free(void *p) { free(p); }
 
 /* Count of distinct line ids among sorted match starts, given sorted
  * newline positions: the -c dedup (krep.c:1331-1351) over sparse matches.

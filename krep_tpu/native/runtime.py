@@ -60,6 +60,62 @@ _lib.krep_distinct_lines.restype = ctypes.c_int64
 _lib.krep_distinct_lines.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64]
 
 
+class _RegexResult(ctypes.Structure):
+    _fields_ = [
+        ("count", ctypes.c_int64),
+        ("n_pos", ctypes.c_int64),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("error", ctypes.c_int),
+    ]
+
+
+_lib.krep_regex_search.restype = ctypes.c_int64
+_lib.krep_regex_search.argtypes = [
+    ctypes.c_char_p,          # pattern (NUL-terminated)
+    ctypes.c_char_p,          # text (bytes; CPython bytes are NUL-terminated)
+    ctypes.c_int64,           # text_len
+    ctypes.c_int,             # cflags
+    ctypes.c_int,             # whole_word
+    ctypes.c_int,             # count_lines_mode
+    ctypes.c_int,             # track_positions
+    ctypes.c_int64,           # max_count
+    ctypes.POINTER(_RegexResult),
+]
+_lib.krep_free.restype = None
+_lib.krep_free.argtypes = [ctypes.c_void_p]
+
+
+def regex_search(
+    pattern: bytes,
+    text: bytes,
+    cflags: int,
+    whole_word: bool,
+    count_lines_mode: bool,
+    track_positions: bool,
+    max_count: int,
+):
+    """Full reference regex loop in C. Returns (count, positions (k,2) int64).
+    Raises ValueError on compile error."""
+    res = _RegexResult()
+    rc = _lib.krep_regex_search(
+        pattern, text, len(text), cflags,
+        int(whole_word), int(count_lines_mode), int(track_positions),
+        max_count, ctypes.byref(res),
+    )
+    try:
+        if res.error == 1:
+            raise ValueError("regex compile error")
+        if res.n_pos and res.pos:
+            flat = np.ctypeslib.as_array(res.pos, shape=(res.n_pos * 2,))
+            positions = np.array(flat, dtype=np.int64).reshape(-1, 2)
+        else:
+            positions = np.zeros((0, 2), np.int64)
+    finally:
+        if res.pos:
+            _lib.krep_free(res.pos)
+    return int(res.count), positions
+
+
 def greedy_nonoverlap(starts: np.ndarray, m: int) -> np.ndarray:
     starts = np.ascontiguousarray(starts, np.int64)
     out = np.empty_like(starts)
