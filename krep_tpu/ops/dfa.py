@@ -63,7 +63,6 @@ def _attribute(data: np.ndarray, ends: np.ndarray, patterns, params: SearchParam
 
 def search_dfa(params: SearchParams, text) -> "SearchResult":
     from ..engine.search import SearchResult, _EMPTY_POS
-    from ..engine import resolve
     from . import ac
 
     patterns = tuple(p for p in params.patterns if len(p) > 0)

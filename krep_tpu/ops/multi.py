@@ -163,7 +163,6 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
 
 
 def search_multi(params: SearchParams, text) -> "SearchResult":
-    from ..engine import resolve
     from ..engine.search import SearchResult, _EMPTY_POS
 
     n = len(text)

@@ -113,12 +113,6 @@ def _seg_scan_rows(A, B, row_idx, nrows):
     return A, B
 
 
-def _scalar_of(x_bool, row_idx, lane_idx, r, c):
-    """Extract element (r, c) of a bool tile as an int32 scalar."""
-    sel = (row_idx == r) & (lane_idx == c)
-    return jnp.max(jnp.where(sel & x_bool, 1, 0))
-
-
 def _make_kernel(pattern: bytes, case_sensitive: bool, whole_word: bool, want_mask: bool):
     m = len(pattern)
     pat = pattern if case_sensitive else fold_bytes_host(pattern)

@@ -367,16 +367,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 mword = jnp.zeros((1, 1), jnp.uint32)
             return jnp.int32(0), jnp.int32(0), new_carry, new_wc3, mword
 
-        if want_mask or whole_word:
-            # masks must be written every tile; skip logic still saves the
-            # scan work via cond
-            dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
-                has_cand, full_path, cheap_path, 0
-            )
-        else:
-            dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
-                has_cand, full_path, cheap_path, 0
-            )
+        dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
+            has_cand, full_path, cheap_path, 0
+        )
         scratch[0] += dcount
         scratch[1] += dfirst
         scratch[2] = new_carry
