@@ -97,6 +97,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
     max_count = None
     recursive = False
     string_mode_pattern = None
+    pattern_file_used = False
     algo = None
     no_simd = False
     color_mode = "auto"
@@ -109,6 +110,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         elif o == "-e":
             patterns.append(a.encode())
         elif o == "-f":
+            pattern_file_used = True
             try:
                 data = sys.stdin.buffer.read() if a == "-" else open(a, "rb").read()
             except OSError as e:
@@ -156,6 +158,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return 0
         elif o == "--color":
             color_mode = a if a else "always"
+            if color_mode not in ("auto", "always", "never"):
+                return _err(f"invalid argument for --color: {color_mode}")
         elif o == "--no-simd":
             no_simd = True
         elif o == "--gitignore":
@@ -167,6 +171,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if string_mode_pattern is not None:
         patterns.insert(0, string_mode_pattern)
     if not patterns:
+        if pattern_file_used:
+            # -f consumed but yielded nothing (krep.c:3619-3625)
+            return _err("no patterns found in pattern file")
         if not args:
             sys.stderr.write(USAGE)
             return 2
@@ -194,18 +201,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
         color_mode == "auto" and sys.stdout.isatty()
     )
 
-    params = SearchParams(
-        patterns=tuple(patterns),
-        case_sensitive=case_sensitive,
-        use_regex=use_regex,
-        whole_word=whole_word,
-        only_matching=only_matching,
-        count_mode=count_mode,
-        max_count=max_count,
-        algo_override=algo,
-        no_simd=no_simd,
-        use_gitignore=use_gitignore,
-    )
+    try:
+        params = SearchParams(
+            patterns=tuple(patterns),
+            case_sensitive=case_sensitive,
+            use_regex=use_regex,
+            whole_word=whole_word,
+            only_matching=only_matching,
+            count_mode=count_mode,
+            max_count=max_count,
+            algo_override=algo,
+            no_simd=no_simd,
+            use_gitignore=use_gitignore,
+        )
+    except ValueError as e:  # too many patterns / pattern too long
+        return _err(str(e))
 
     from .engine.search import search_string, search_file
 

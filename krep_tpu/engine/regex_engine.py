@@ -147,9 +147,15 @@ def search_regex(params: SearchParams, text) -> "SearchResult":
     n = len(data)
 
     pattern_src = build_regex_source(params)
+    # Line-aligned chunking is only exact if no match can contain '\n'.
+    # Under REG_NEWLINE '.' and negated brackets exclude it, but a literal
+    # newline, a positive bracket ([[:space:]], [[:cntrl:]], ranges), or a
+    # GNU escape (\s, \W) can still match it — gate conservatively.
     can_parallel = (
         n >= PARALLEL_MIN_BYTES
         and b"\n" not in pattern_src
+        and b"[" not in pattern_src
+        and b"\\" not in pattern_src
         and os.cpu_count() and os.cpu_count() > 1
         and hasattr(os, "fork")
     )

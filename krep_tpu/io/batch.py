@@ -37,7 +37,13 @@ def eligible(params: SearchParams, size: int) -> bool:
     whose pattern contains no NUL (so separators cannot match)."""
     if params.use_regex or params.num_patterns != 1:
         return False
-    if b"\x00" in params.pattern or len(params.pattern) == 0:
+    # separator bytes are '\n' + NULs: any match crossing a file boundary
+    # would have to contain one of them, so exclude such patterns
+    if (
+        b"\x00" in params.pattern
+        or b"\n" in params.pattern
+        or len(params.pattern) == 0
+    ):
         return False
     if size > BATCH_FILE_MAX:
         return False

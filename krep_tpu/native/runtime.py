@@ -105,6 +105,12 @@ def regex_search(
     try:
         if res.error == 1:
             raise ValueError("regex compile error")
+        if res.error == 2:
+            # mirror the reference: regexec failure mid-scan warns and
+            # returns the partial count (krep.c:1444-1453)
+            import sys
+
+            sys.stderr.write("krep: Regex execution error (partial results)\n")
         if res.n_pos and res.pos:
             flat = np.ctypeslib.as_array(res.pos, shape=(res.n_pos * 2,))
             positions = np.array(flat, dtype=np.int64).reshape(-1, 2)

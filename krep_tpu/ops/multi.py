@@ -47,7 +47,7 @@ def scan_multi(
     """Fused K-pattern scan. Returns (total_count, matched_line_count,
     tuple_of_packed_masks)."""
     masks = []
-    total = jnp.int64(0) if False else jnp.int32(0)
+    total = jnp.int32(0)
     any_mask = jnp.zeros((text_arr.shape[0],), dtype=jnp.bool_)
     for p in patterns:
         m = literal.all_starts_mask(

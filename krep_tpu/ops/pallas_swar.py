@@ -388,10 +388,10 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
 def _pick_tile(R4: int, n_patterns: int = 1) -> int:
     # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
-    # overhead (~1.5-2 us/step) dominates below that; 2048 regresses (VMEM
-    # pressure defeats double buffering). Multi-pattern kernels keep more
-    # live arrays (E-shift cache + per-pattern words), so scale the tile
-    # down with K to stay inside the 16 MiB scoped-VMEM limit.
+    # overhead (~1.5-2 us/step) dominates below that; 2048 regresses 4x
+    # (double buffering stops fitting in VMEM). Multi-pattern kernels keep
+    # more live arrays (E-shift cache + per-pattern words), so scale down
+    # with K to stay inside the 16 MiB scoped-VMEM limit.
     if n_patterns <= 1:
         cap = 1024
     elif n_patterns <= 8:

@@ -24,8 +24,10 @@ from ..ops import literal
 HALO_PAD = 1024  # max supported pattern overlap (MAX_PATTERN_LENGTH)
 
 
-def build_shards(data: np.ndarray, n_shards: int, halo: int) -> tuple[np.ndarray, int]:
-    """Host-side overlapping shard slab: (D, S+halo) uint8, zero-padded."""
+def build_shards(data: np.ndarray, n_shards: int, halo: int):
+    """Host-side overlapping shard slab: (D, S+halo) uint8, zero-padded.
+    Also returns the byte preceding each shard (0 for the first) — needed
+    by the whole-word filter at shard starts."""
     n = data.shape[0]
     shard = -(-n // n_shards)  # cdiv
     # pad so every shard row (incl. halo read past the end) is in bounds
@@ -34,7 +36,10 @@ def build_shards(data: np.ndarray, n_shards: int, halo: int) -> tuple[np.ndarray
     rows = np.lib.stride_tricks.sliding_window_view(padded, shard + halo)[
         :: shard if shard > 0 else 1
     ][:n_shards]
-    return np.ascontiguousarray(rows), shard
+    prev = np.zeros((n_shards, 1), dtype=np.uint8)
+    starts = np.arange(1, n_shards, dtype=np.int64) * shard
+    prev[1:, 0] = padded[np.minimum(starts - 1, n_shards * shard + halo - 1)]
+    return np.ascontiguousarray(rows), prev, shard
 
 
 @functools.partial(
@@ -42,15 +47,15 @@ def build_shards(data: np.ndarray, n_shards: int, halo: int) -> tuple[np.ndarray
     static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mesh"),
 )
 def _sharded_stats(
-    slab, shard_len, true_len, *, pattern, case_sensitive, whole_word,
-    want_mask, mesh,
+    slab, prev_bytes, shard_len, true_len, *, pattern, case_sensitive,
+    whole_word, want_mask, mesh,
 ):
     """slab: (D, S+halo) uint8 sharded over 'data'. Returns per-shard
     (all_count, line_count_local, lead, trail, any, has_nl) stacked (D,),
     plus the per-shard start mask (D, S+halo) u8 when want_mask (halo
     columns are zeroed — only owned starts are flagged)."""
 
-    def per_shard(block, shard_len, true_len):
+    def per_shard(block, prev_byte, shard_len, true_len):
         block = block[0]  # (S+halo,)
         d = jax.lax.axis_index("data")
         base = d.astype(jnp.int32) * shard_len
@@ -65,6 +70,17 @@ def _sharded_stats(
         )
         idx = jnp.arange(block.shape[0], dtype=jnp.int32)
         mask = mask & (idx < limit)
+        if whole_word:
+            # a shard start is not a text edge: the previous shard's last
+            # byte decides the before-boundary at local index 0
+            pb = prev_byte[0, 0]
+            prev_is_word = (
+                ((pb >= 0x30) & (pb <= 0x39))
+                | ((pb >= 0x41) & (pb <= 0x5A))
+                | ((pb >= 0x61) & (pb <= 0x7A))
+                | (pb == 0x5F)
+            )
+            mask = mask & ((idx != 0) | ~prev_is_word)
         all_count = jnp.sum(mask.astype(jnp.int32))
         # restrict line stats to the owned region (halo bytes belong to the
         # next shard's accounting)
@@ -91,10 +107,10 @@ def _sharded_stats(
     f = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P("data", None), P(), P()),
+        in_specs=(P("data", None), P("data", None), P(), P()),
         out_specs=out_specs,
     )
-    return f(slab, shard_len, true_len)
+    return f(slab, prev_bytes, shard_len, true_len)
 
 
 def combine_line_counts(local_counts, leads, trails, anys, has_nls) -> int:
@@ -131,12 +147,13 @@ def sharded_scan(
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     halo = max(len(pattern), 2)
-    slab_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
-    slab = jax.device_put(
-        slab_np, jax.sharding.NamedSharding(mesh, P("data", None))
-    )
+    slab_np, prev_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
+    sharding = jax.sharding.NamedSharding(mesh, P("data", None))
+    slab = jax.device_put(slab_np, sharding)
+    prev_bytes = jax.device_put(prev_np, sharding)
     out = _sharded_stats(
         slab,
+        prev_bytes,
         jnp.int32(shard),
         jnp.int32(len(data)),
         pattern=pattern,

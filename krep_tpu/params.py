@@ -74,7 +74,6 @@ class SearchParams:
     only_matching: bool = False        # -o
     count_mode: bool = False           # -c
     max_count: Optional[int] = None    # -m NUM (None = unlimited, SIZE_MAX)
-    invert_match: bool = False         # -v (line-level invert, README.md:142)
     algo_override: Optional[str] = None  # --algo {auto,bm,kmp}
     no_simd: bool = False              # --no-simd (krep.c:118)
     use_gitignore: bool = False        # --gitignore (krep.c:120)
