@@ -20,7 +20,15 @@ from . import literal
 
 # Persistent compile cache: the CLI is a fresh process per invocation (like
 # the reference binary), so kernel compiles must amortize across runs.
-if os.environ.get("KREP_TPU_NO_CACHE") != "1":
+# CPU-only processes skip it — cache writes on the CPU backend have been
+# observed to segfault inside jax's zstandard compression, and CPU compiles
+# are cheap anyway.
+def _platform_hint() -> str:
+    cfg = getattr(jax.config, "jax_platforms", None) or ""
+    return cfg or os.environ.get("JAX_PLATFORMS", "")
+
+
+if os.environ.get("KREP_TPU_NO_CACHE") != "1" and "cpu" not in _platform_hint():
     _cache_dir = os.environ.get(
         "KREP_TPU_CACHE_DIR", os.path.expanduser("~/.cache/krep_tpu/jax")
     )

@@ -57,6 +57,20 @@ def print_only_matching(
         return
     starts = positions[:, 0]
     linenos = np.searchsorted(nl, starts, side="left") + 1
+    if len(positions) > 10 and len(nl) > 0:
+        # Reproduce the reference's binary-search quirk (krep.c:621-653):
+        # for a match beyond the LAST newline the search exits without
+        # updating its index, so such matches inherit the previous match's
+        # line index (stale), not the true final line number.
+        beyond = starts > int(nl[-1])
+        if beyond.any():
+            not_beyond = ~beyond
+            stale = (
+                int(np.searchsorted(nl, int(starts[not_beyond][-1]), side="left"))
+                if not_beyond.any()
+                else 0
+            )
+            linenos = np.where(beyond, stale + 1, linenos)
 
     fn = filename.encode() if filename is not None else None
     # batched emission, mirroring the reference's 8MB O_BATCH buffer
@@ -82,6 +96,9 @@ def print_only_matching(
     out.write(b"".join(parts))
 
 
+MAX_MATCHES_PER_LINE = 2048  # krep.c:496-497
+
+
 def print_matching_lines(
     out,
     text,
@@ -89,8 +106,13 @@ def print_matching_lines(
     filename: str | None,
     color: bool,
 ):
-    """Default mode: each matched line once, matches highlighted when color
-    (krep.c:797-1071). Match spans are clamped to line bounds."""
+    """Default mode: each matched line once (krep.c:797-1071), reproducing
+    the reference's emission loop exactly: every match span (clamped to the
+    line) is emitted in full from its own start — OVERLAPPING spans
+    re-emit the overlap bytes (krep.c:963-1001), and >2048 matches on one
+    line warn and drop the remainder (krep.c:877-917)."""
+    import sys
+
     buf = _as_bytes(text)
     n = buf.shape[0]
     nl = newline_positions(buf)
@@ -117,32 +139,47 @@ def print_matching_lines(
         # collect this line's spans (consecutive in sorted order)
         spans = []
         j = i
+        overflow = False
         while j < k and int(lidx[j]) == li:
-            s, e = int(positions[j, 0]), int(positions[j, 1])
-            spans.append((max(s, ls), min(e, le)))
+            if len(spans) >= MAX_MATCHES_PER_LINE:
+                overflow = True
+            else:
+                spans.append((int(positions[j, 0]), int(positions[j, 1])))
             j += 1
         i = j
+        if overflow:
+            sys.stderr.write(
+                f"Warning: Exceeded MAX_MATCHES_PER_LINE ({MAX_MATCHES_PER_LINE}) "
+                f"on line starting at offset {ls} in {filename or '<stdin>'}\n"
+            )
 
         if fn is not None:
             if color:
-                parts.append(FILENAME + fn + RESET + SEPARATOR + b":")
+                # the reference's prebuilt prefix ends with the text color
+                parts.append(FILENAME + fn + RESET + SEPARATOR + b":" + TEXT)
             else:
                 parts.append(fn + b":")
-        if color:
+        elif color:
             parts.append(TEXT)
-            pos = ls
-            for s, e in spans:
-                if e <= pos:
-                    continue
-                s = max(s, pos)
+        pos = ls
+        emitted = 0
+        for s, e in spans:
+            s = max(s, ls)
+            e = min(e, le)
+            if s >= e:
+                continue
+            if s > pos:
                 parts.append(buf[pos:s].tobytes())
+            if color:
                 parts.append(MATCH + buf[s:e].tobytes() + TEXT)
-                pos = e
+            else:
+                parts.append(buf[s:e].tobytes())
+            emitted += e - s
+            pos = e
+        if pos < le:
             parts.append(buf[pos:le].tobytes())
-            parts.append(RESET + b"\n")
-        else:
-            parts.append(buf[ls:le].tobytes() + b"\n")
-        acc += le - ls + 32
+        parts.append(RESET + b"\n" if color else b"\n")
+        acc += le - ls + emitted + 32
         if acc >= BATCH_BYTES:
             out.write(b"".join(parts))
             parts, acc = [], 0

@@ -1,0 +1,94 @@
+"""Differential fuzzing: random (corpus, pattern(s), flags) combinations —
+our CLI stdout must equal the reference binary's byte-for-byte."""
+
+import io
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import oracle
+from krep_tpu import cli
+
+pytestmark = pytest.mark.skipif(
+    oracle.ensure_oracle() is None, reason="reference oracle unavailable"
+)
+
+ALPHABETS = [
+    b"ab\n",                      # tiny alphabet: heavy overlaps
+    b"abcde \n",
+    b"the quick brown fox\n_",    # word chars + separators
+    bytes(range(32, 127)) + b"\n",  # printable ASCII
+]
+
+
+def gen_case(rng):
+    alpha = ALPHABETS[rng.integers(0, len(ALPHABETS))]
+    alpha_arr = np.frombuffer(alpha, np.uint8)
+    n = int(rng.integers(0, 5000))
+    text = rng.choice(alpha_arr, size=n).tobytes()
+
+    # pattern: random slice of text (likely to match) or random bytes
+    pats = []
+    n_pats = int(rng.choice([1, 1, 1, 2, 3]))
+    for _ in range(n_pats):
+        if n > 4 and rng.random() < 0.7:
+            m = int(rng.integers(1, min(20, n)))
+            s = int(rng.integers(0, n - m + 1))
+            pat = text[s : s + m]
+        else:
+            m = int(rng.integers(1, 8))
+            pat = rng.choice(alpha_arr, size=m).tobytes()
+        pat = pat.replace(b"\x00", b"x")
+        if b"\n" in pat:
+            pat = pat.replace(b"\n", b"a")
+        if not pat:
+            pat = b"a"
+        pats.append(pat)
+
+    args = []
+    if n_pats == 1 and rng.random() < 0.7:
+        args.append(pats[0].decode("latin1"))
+    else:
+        for p in pats:
+            args += ["-e", p.decode("latin1")]
+    flags = []
+    if rng.random() < 0.3:
+        flags.append("-i")
+    if rng.random() < 0.3:
+        flags.append("-w")
+    mode = rng.random()
+    if mode < 0.3:
+        flags.append("-c")
+    elif mode < 0.6:
+        flags.append("-o")
+    elif mode < 0.7:
+        flags += ["-c", "-o"]
+    if rng.random() < 0.25:
+        flags += ["-m", str(int(rng.integers(0, 6)))]
+    if rng.random() < 0.15 and n_pats == 1:
+        flags += ["--algo", "bm" if rng.random() < 0.5 else "kmp"]
+    if rng.random() < 0.1:
+        flags.append("--no-simd")
+    return text, flags + args
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_cli_parity(seed):
+    rng = np.random.default_rng(1000 + seed)
+    for case in range(40):
+        text, args = gen_case(rng)
+        with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+            f.write(text)
+            path = f.name
+        try:
+            out = io.BytesIO()
+            rc = cli.main([*args, path], out=out)
+            want, wrc = oracle.run([*args, path])
+            got_n = out.getvalue().replace(path.encode(), b"F")
+            want_n = want.replace(path.encode(), b"F")
+            assert got_n == want_n, (seed, case, args, text[:200])
+            assert rc == wrc, (seed, case, args, text[:200])
+        finally:
+            os.unlink(path)
