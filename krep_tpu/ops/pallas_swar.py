@@ -119,7 +119,7 @@ def _seg_scan_rows(A, B, row_idx, nrows):
 
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
-                 tile_r: int):
+                 tile_r: int, want_stats: bool = False):
     """K patterns fused in one pass over the text: per-pattern packed match
     words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
     counts, test_multiple_patterns.c:345-471), union mask for line
@@ -144,7 +144,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             scratch[0] = 0   # match count
             scratch[1] = 0   # matched-line count
             scratch[2] = 0   # carry: open line already has a match
-            scratch[3] = 0   # carry: last byte of previous tile is word-char
+            scratch[3] = tl_ref[1]  # carry: byte before position 0 is word-char
+            scratch[4] = 0   # stats: a newline has been seen
+            scratch[5] = 0   # stats: match in the leading segment (lead)
 
         buf = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
         if not case_sensitive:
@@ -282,7 +284,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
             if not want_lines:
                 out_w = mword if want_mask else jnp.zeros((1, 1), jnp.uint32)
-                return dcount, jnp.int32(0), scratch[2], new_wc3, out_w
+                return dcount, jnp.int32(0), scratch[2], new_wc3, jnp.int32(0), out_w
 
             # --- matched-line accounting, packed affine domain ---
             # s_after = (s_before | match) & ~nl per byte (the "-c" dedup
@@ -339,11 +341,30 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             b_tot = jnp.max(jnp.where(last_row, RBi, 0))
             new_carry = (carry & a_tot) | b_tot
 
+            lead_tile = jnp.int32(0)
+            if want_stats:
+                # does a match precede the first newline in this tile?
+                # (byte-exact: ties within one word compare lowest flag bits)
+                # (reductions stay in int32 — Mosaic lacks unsigned reduces;
+                # the packed flag words fit int32 losslessly)
+                BIG = jnp.int32(1 << 30)
+                fi = row_idx * LANES + lane_idx
+                vm = jnp.min(jnp.where(mword != _U(0), fi, BIG))
+                vn = jnp.min(jnp.where(nlw != _U(0), fi, BIG))
+                mw_at = jnp.max(jnp.where(fi == vm, mword.astype(jnp.int32), 0))
+                nw_at = jnp.max(jnp.where(fi == vm, nlw.astype(jnp.int32), 0))
+                m_low = mw_at & (-mw_at)
+                n_low = nw_at & (-nw_at)
+                same = (vm == vn) & (vm < BIG)
+                lead_tile = (
+                    (vm < vn) | (same & (n_low == 0)) | (same & (m_low < n_low))
+                ).astype(jnp.int32)
+
             if want_mask:
                 out_w = mword
             else:
                 out_w = jnp.zeros((1, 1), jnp.uint32)
-            return dcount, dfirst, new_carry, new_wc3, out_w
+            return dcount, dfirst, new_carry, new_wc3, lead_tile, out_w
 
         def cheap_path(_):
             carry = scratch[2]
@@ -365,9 +386,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 mword = jnp.zeros((tile_r, LANES), jnp.uint32)
             else:
                 mword = jnp.zeros((1, 1), jnp.uint32)
-            return jnp.int32(0), jnp.int32(0), new_carry, new_wc3, mword
+            return jnp.int32(0), jnp.int32(0), new_carry, new_wc3, jnp.int32(0), mword
 
-        dcount, dfirst, new_carry, new_wc3, mword = jax.lax.cond(
+        dcount, dfirst, new_carry, new_wc3, lead_tile, mword = jax.lax.cond(
             has_cand, full_path, cheap_path, 0
         )
         scratch[0] += dcount
@@ -375,6 +396,10 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         scratch[2] = new_carry
         if whole_word:
             scratch[3] = new_wc3
+        if want_stats:
+            # lead: first match of the shard precedes its first newline
+            scratch[5] = scratch[5] | ((1 - scratch[4]) * lead_tile)
+            scratch[4] = scratch[4] | jnp.where(any_nl, 1, 0)
         if want_mask:
             mask_ref[:] = mword
 
@@ -382,6 +407,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         def _():
             count_ref[0] = scratch[0]
             count_ref[1] = scratch[1]
+            count_ref[2] = scratch[2]  # trail: open line at end has a match
+            count_ref[3] = scratch[5]  # lead
+            count_ref[4] = scratch[4]  # any newline seen
 
     return kernel
 
@@ -428,30 +456,10 @@ def scan_literal(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "patterns", "case_sensitive", "whole_word", "want_mask", "want_lines",
-        "interpret",
-    ),
-)
-def scan_multi(
-    text32: jax.Array,
-    true_len: jax.Array,
-    *,
-    patterns: tuple[bytes, ...],
-    case_sensitive: bool = True,
-    whole_word: bool = False,
-    want_mask: bool = True,
-    want_lines: bool = True,
-    interpret: bool = False,
+def _scan_raw(
+    text32, true_len, prev_word, *, patterns, case_sensitive, whole_word,
+    want_mask, want_lines, want_stats, interpret,
 ):
-    """SWAR fused K-pattern scan over the uint32 staged view
-    (dispatch.StagedText.u32): shape (R4 + H4, 128) uint32.
-
-    Returns (total_match_count i32, matched_line_count i32 over the UNION
-    of matches, union mask view (R4*128,) uint32 whose little-endian bytes
-    are the per-byte "≥1 pattern starts here" 0/1 mask)."""
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
@@ -462,12 +470,15 @@ def scan_multi(
     ):
         raise NotImplementedError("pattern length outside kernel support")
 
-    tl = jnp.reshape(true_len.astype(jnp.int32), (1,))
+    tl = jnp.stack(
+        [true_len.astype(jnp.int32), prev_word.astype(jnp.int32)]
+    )
     kernel = _make_kernel(
-        tuple(patterns), case_sensitive, whole_word, want_mask, want_lines, tile_r
+        tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
+        tile_r, want_stats,
     )
 
-    out_shape = [jax.ShapeDtypeStruct((2,), jnp.int32)]
+    out_shape = [jax.ShapeDtypeStruct((8,), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if want_mask:
         out_shape.append(jax.ShapeDtypeStruct((R4, LANES), jnp.uint32))
@@ -499,4 +510,66 @@ def scan_multi(
 
     counts = outs[0]
     mask = outs[1].reshape(-1) if want_mask else jnp.zeros((LANES,), jnp.uint32)
+    return counts, mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "patterns", "case_sensitive", "whole_word", "want_mask", "want_lines",
+        "interpret",
+    ),
+)
+def scan_multi(
+    text32: jax.Array,
+    true_len: jax.Array,
+    *,
+    patterns: tuple[bytes, ...],
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = True,
+    want_lines: bool = True,
+    interpret: bool = False,
+):
+    """SWAR fused K-pattern scan over the uint32 staged view
+    (dispatch.StagedText.u32): shape (R4 + H4, 128) uint32.
+
+    Returns (total_match_count i32, matched_line_count i32 over the UNION
+    of matches, union mask view (R4*128,) uint32 whose little-endian bytes
+    are the per-byte "≥1 pattern starts here" 0/1 mask)."""
+    counts, mask = _scan_raw(
+        text32, true_len, jnp.int32(0),
+        patterns=tuple(patterns), case_sensitive=case_sensitive,
+        whole_word=whole_word, want_mask=want_mask, want_lines=want_lines,
+        want_stats=False, interpret=interpret,
+    )
     return counts[0], counts[1], mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "interpret"),
+)
+def scan_shard(
+    text32: jax.Array,
+    true_len: jax.Array,
+    prev_word: jax.Array,
+    *,
+    pattern: bytes,
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = False,
+    interpret: bool = False,
+):
+    """Per-shard scan for the multi-chip path: like scan_literal but also
+    returns the cross-shard line-merge stats and accepts the word-char flag
+    of the byte preceding the shard.
+
+    Returns (count, local_first_in_line, trail, lead, has_nl, mask)."""
+    counts, mask = _scan_raw(
+        text32, true_len, prev_word,
+        patterns=(pattern,), case_sensitive=case_sensitive,
+        whole_word=whole_word, want_mask=want_mask, want_lines=True,
+        want_stats=True, interpret=interpret,
+    )
+    return counts[0], counts[1], counts[2], counts[3], counts[4], mask

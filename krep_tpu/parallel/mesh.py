@@ -129,6 +129,84 @@ def combine_line_counts(local_counts, leads, trails, anys, has_nls) -> int:
     return total
 
 
+def _is_word_byte(b: int) -> bool:
+    return (
+        0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A or b == 0x5F
+    )
+
+
+def build_shards_staged(data: np.ndarray, n_shards: int):
+    """Shard slab in the SWAR staged layout: each row is S owned bytes
+    (S a multiple of 64 KiB) + a 4 KiB forward halo of the next shard's
+    bytes — so each row can go straight into the SWAR kernel as its uint32
+    view. Returns (slab (D, S+4096) u8, prev_word (D,1) i32, S)."""
+    from ..ops.dispatch import HALO_ROWS, LANES
+
+    n = data.shape[0]
+    unit = 512 * LANES  # 64 KiB: keeps R4 = S/512 a multiple of 128
+    S = max(unit, ((-(-n // n_shards)) + unit - 1) // unit * unit)
+    halo = HALO_ROWS * LANES
+    padded = np.zeros(n_shards * S + halo, dtype=np.uint8)
+    padded[:n] = data
+    rows = np.lib.stride_tricks.sliding_window_view(padded, S + halo)[::S][:n_shards]
+    prev = np.zeros((n_shards, 1), dtype=np.int32)
+    for d in range(1, n_shards):
+        prev[d, 0] = 1 if _is_word_byte(int(padded[d * S - 1])) else 0
+    return np.ascontiguousarray(rows), prev, S
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mesh", "interpret"),
+)
+def _sharded_stats_swar(
+    slab, prev_words, shard_len, true_len, m_len, *, pattern, case_sensitive,
+    whole_word, want_mask, mesh, interpret=False,
+):
+    """SWAR per-shard scan under shard_map (the fast multi-chip path).
+    Returns the same tuple layout as _sharded_stats."""
+    from ..ops import pallas_swar
+
+    def per_shard(block, prev_word, shard_len, true_len, m_len):
+        row = block[0]  # (S + 4096,) u8
+        d = jax.lax.axis_index("data")
+        base = d.astype(jnp.int32) * shard_len
+        owned = jnp.clip(true_len - base, 0, shard_len)
+        # allow starts in [0, owned) whose matches extend into the halo,
+        # but never past the end of the real text
+        tl_shard = jnp.minimum(owned + m_len - 1, jnp.maximum(true_len - base, 0))
+        u32 = jax.lax.bitcast_convert_type(
+            row.reshape(-1, 4), jnp.uint32
+        ).reshape(-1, 128)
+        c, f, trail, lead, hasnl, mask = pallas_swar.scan_shard(
+            u32, tl_shard, prev_word[0, 0],
+            pattern=pattern, case_sensitive=case_sensitive,
+            whole_word=whole_word, want_mask=want_mask, interpret=interpret,
+        )
+        total = jax.lax.psum(c, "data")
+        outs = (
+            total[None], f[None], (lead > 0)[None], (trail > 0)[None],
+            (c > 0)[None], (hasnl > 0)[None],
+        )
+        if want_mask:
+            outs = outs + (mask[None, :],)
+        return outs
+
+    from jax import shard_map
+
+    out_specs = (P("data"),) * 6
+    if want_mask:
+        out_specs = out_specs + (P("data", None),)
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P(), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,  # pallas_call out_shapes don't carry vma info
+    )
+    return f(slab, prev_words, shard_len, true_len, m_len)
+
+
 def sharded_scan(
     data: np.ndarray,
     pattern: bytes,
@@ -146,27 +224,51 @@ def sharded_scan(
         devs = np.array(jax.devices())
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
-    halo = max(len(pattern), 2)
-    slab_np, prev_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
-    slab = jax.device_put(slab_np, sharding)
-    prev_bytes = jax.device_put(prev_np, sharding)
-    out = _sharded_stats(
-        slab,
-        prev_bytes,
-        jnp.int32(shard),
-        jnp.int32(len(data)),
-        pattern=pattern,
-        case_sensitive=case_sensitive,
-        whole_word=whole_word,
-        want_mask=want_mask,
-        mesh=mesh,
-    )
+    from ..ops import dispatch
+
+    use_swar = dispatch.backend_name() == "swar"
+    if use_swar:
+        slab_np, prev_np, shard = build_shards_staged(np.asarray(data, np.uint8), D)
+        slab = jax.device_put(slab_np, sharding)
+        prev_words = jax.device_put(prev_np, sharding)
+        out = _sharded_stats_swar(
+            slab,
+            prev_words,
+            jnp.int32(shard),
+            jnp.int32(len(data)),
+            jnp.int32(len(pattern)),
+            pattern=pattern,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word,
+            want_mask=want_mask,
+            mesh=mesh,
+        )
+        mask_bytes_per_shard = shard
+    else:
+        halo = max(len(pattern), 2)
+        slab_np, prev_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
+        slab = jax.device_put(slab_np, sharding)
+        prev_bytes = jax.device_put(prev_np, sharding)
+        out = _sharded_stats(
+            slab,
+            prev_bytes,
+            jnp.int32(shard),
+            jnp.int32(len(data)),
+            pattern=pattern,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word,
+            want_mask=want_mask,
+            mesh=mesh,
+        )
+        mask_bytes_per_shard = None
     total, cnts, leads, trails, anys, hasnls = map(np.asarray, out[:6])
     lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
     starts = None
     if want_mask:
-        masks = np.asarray(out[6])  # (D, S+halo); halo cols already zeroed
+        masks = np.asarray(out[6])  # per-shard masks; non-owned flags zeroed
+        if use_swar:
+            masks = masks.view(np.uint8).reshape(D, -1)
         flat = np.flatnonzero(masks)
         rows, cols = np.divmod(flat, masks.shape[1])
         starts = (rows.astype(np.int64) * shard + cols).astype(np.int64)

@@ -91,6 +91,31 @@ def test_case_fold_swar_high_bytes():
         assert starts == want, pat
 
 
+def test_scan_shard_stats():
+    """Per-shard stats for the multi-chip line merge (scan_shard)."""
+    import jax.numpy as jnp
+
+    def stats(text, pat, ww=False, prev=0):
+        st = dispatch.stage(text)
+        c, f, trail, lead, hasnl, _ = pallas_swar.scan_shard(
+            st.u32, st.true_len, jnp.int32(prev), pattern=pat,
+            whole_word=ww, interpret=True,
+        )
+        return int(c), int(f), int(trail), int(lead), int(hasnl)
+
+    assert stats(b"xx ab yy\nab zz", b"ab") == (2, 2, 1, 1, 1)
+    assert stats(b"xx\nab", b"ab") == (1, 1, 1, 0, 1)
+    assert stats(b"ab xx", b"ab") == (1, 1, 1, 1, 0)
+    assert stats(b"xx yy", b"ab") == (0, 0, 0, 0, 0)
+    assert stats(b"zz\nxx ab\nyy", b"ab") == (1, 1, 0, 0, 1)
+    # word-char carry from the previous shard's last byte
+    assert stats(b"ab cd", b"ab", ww=True, prev=1)[0] == 0
+    assert stats(b"ab cd", b"ab", ww=True, prev=0)[0] == 1
+    # lead survives across a match-free leading tile
+    text = b" " * 600_000 + b"ab" + b"\n zz"
+    assert stats(text, b"ab") == (1, 1, 0, 1, 1)
+
+
 def test_word_boundary_across_tiles():
     T = 512 * 512
     body = bytearray(b" " * (T + 4096))
