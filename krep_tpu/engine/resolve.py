@@ -101,6 +101,81 @@ def truncate_max_count(arr: np.ndarray, max_count: int | None) -> np.ndarray:
     return arr[:max_count]
 
 
+def _fold_np(b: np.ndarray) -> np.ndarray:
+    return np.where((b >= 0x41) & (b <= 0x5A), b + 32, b).astype(np.uint8)
+
+
+def _is_word_np(b: np.ndarray) -> np.ndarray:
+    return (
+        ((b >= 0x30) & (b <= 0x39))
+        | ((b >= 0x41) & (b <= 0x5A))
+        | ((b >= 0x61) & (b <= 0x7A))
+        | (b == 0x5F)
+    )
+
+
+def attribute_patterns(
+    data: np.ndarray,
+    anchors: np.ndarray,
+    patterns,
+    *,
+    case_sensitive: bool,
+    whole_word: bool,
+    anchor: str = "start",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Which patterns (with multiplicity) match at the given anchor
+    positions — the host side of the union-mask / DFA-emission designs.
+
+    anchors are match START positions (anchor="start", fused-union masks) or
+    match END positions (anchor="end", AC/DFA emissions). Returns merged
+    (starts, ends) arrays including duplicates, whole-word filtered.
+    """
+    n = data.shape[0]
+    t = data if case_sensitive else _fold_np(data)
+    all_s, all_e = [], []
+    for p in patterns:
+        pk = np.frombuffer(p, np.uint8)
+        if not case_sensitive:
+            pk = _fold_np(pk)
+        mk = len(pk)
+        if anchor == "start":
+            cand = anchors[anchors + mk <= n]
+        else:
+            s = anchors - mk
+            cand = s[s >= 0]
+        if len(cand) == 0:
+            continue
+        idx = cand[:, None] + np.arange(mk)
+        ok = (t[idx] == pk).all(axis=1)
+        cand = cand[ok]
+        if whole_word and len(cand):
+            before_ok = np.ones(len(cand), bool)
+            nz = cand > 0
+            before_ok[nz] = ~_is_word_np(data[cand[nz] - 1])
+            after_ok = np.ones(len(cand), bool)
+            inr = cand + mk < n
+            after_ok[inr] = ~_is_word_np(data[cand[inr] + mk])
+            cand = cand[before_ok & after_ok]
+        all_s.append(cand)
+        all_e.append(cand + mk)
+    if not all_s:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(all_s), np.concatenate(all_e)
+
+
+def ac_order_truncate(
+    starts: np.ndarray, ends: np.ndarray, max_count: int | None
+) -> np.ndarray:
+    """AC emission-order (-m) truncation then final (start, end) sort
+    (aho_corasick.c emission order; qsort at krep.c:3020-3023)."""
+    order = np.lexsort((starts, ends))
+    starts, ends = starts[order], ends[order]
+    if max_count is not None:
+        starts, ends = starts[:max_count], ends[:max_count]
+    order = np.lexsort((ends, starts))
+    return np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+
+
 def line_ids(starts: np.ndarray, newline_positions: np.ndarray) -> np.ndarray:
     """0-based line index for each match start (line = # newlines before it).
     Mirrors the binary-search line numbering at krep.c:621-653."""

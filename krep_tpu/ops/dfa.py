@@ -14,53 +14,6 @@ import numpy as np
 from ..params import SearchParams
 
 
-def _fold(b: np.ndarray) -> np.ndarray:
-    return np.where((b >= 0x41) & (b <= 0x5A), b + 32, b).astype(np.uint8)
-
-
-def _is_word(b: np.ndarray) -> np.ndarray:
-    return (
-        ((b >= 0x30) & (b <= 0x39))
-        | ((b >= 0x41) & (b <= 0x5A))
-        | ((b >= 0x61) & (b <= 0x7A))
-        | (b == 0x5F)
-    )
-
-
-def _attribute(data: np.ndarray, ends: np.ndarray, patterns, params: SearchParams):
-    """Per-pattern verification at flagged end positions → (starts, ends)
-    arrays incl. duplicates, with whole-word filtering."""
-    n = data.shape[0]
-    t = data if params.case_sensitive else _fold(data)
-    all_s, all_e = [], []
-    for p in patterns:
-        pk = np.frombuffer(p, np.uint8)
-        if not params.case_sensitive:
-            pk = _fold(pk)
-        mk = len(pk)
-        s = ends - mk
-        ok = s >= 0
-        cand = s[ok]
-        if len(cand) == 0:
-            continue
-        idx = cand[:, None] + np.arange(mk)
-        match = (t[idx] == pk).all(axis=1)
-        cand = cand[match]
-        if params.whole_word and len(cand):
-            before_ok = np.ones(len(cand), bool)
-            nz = cand > 0
-            before_ok[nz] = ~_is_word(data[cand[nz] - 1])
-            after_ok = np.ones(len(cand), bool)
-            inr = cand + mk < n
-            after_ok[inr] = ~_is_word(data[cand[inr] + mk])
-            cand = cand[before_ok & after_ok]
-        all_s.append(cand)
-        all_e.append(cand + mk)
-    if not all_s:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return np.concatenate(all_s), np.concatenate(all_e)
-
-
 def search_dfa(params: SearchParams, text) -> "SearchResult":
     """>FUSED_MAX-pattern search. Default route: grouped fused SWAR passes
     (measured ~500x faster than the gather-per-byte DFA walk on v5e — XLA
@@ -138,15 +91,14 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
             lines = len(np.unique(np.searchsorted(nl, union_starts, side="left")))
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
 
-    from .multi import _attribute_starts
+    from ..engine import resolve
 
-    starts, ends = _attribute_starts(data, union_starts, patterns, params)
-    order = np.lexsort((starts, ends))
-    starts, ends = starts[order], ends[order]
-    if mc is not None:
-        starts, ends = starts[:mc], ends[:mc]
-    order = np.lexsort((ends, starts))
-    positions = np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    starts, ends = resolve.attribute_patterns(
+        data, union_starts, patterns,
+        case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+        anchor="start",
+    )
+    positions = resolve.ac_order_truncate(starts, ends, mc)
     return SearchResult(len(positions), positions, n)
 
 
@@ -174,7 +126,13 @@ def _dense_dfa(params: SearchParams, text) -> "SearchResult":
     if pure_count:
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    starts, ends_arr = _attribute(data, np.asarray(ends, np.int64), patterns, params)
+    from ..engine import resolve as _resolve
+
+    starts, ends_arr = _resolve.attribute_patterns(
+        data, np.asarray(ends, np.int64), patterns,
+        case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+        anchor="end",
+    )
 
     if params.count_lines_mode:
         from ..engine.resolve import newline_positions_host
@@ -192,13 +150,7 @@ def _dense_dfa(params: SearchParams, text) -> "SearchResult":
             lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
 
-    # AC emission order is (end asc, start asc) for -m truncation
-    order = np.lexsort((starts, ends_arr))
-    starts, ends_arr = starts[order], ends_arr[order]
-    if mc is not None:
-        starts, ends_arr = starts[:mc], ends_arr[:mc]
-    order = np.lexsort((ends_arr, starts))
-    positions = np.stack([starts[order], ends_arr[order]], axis=1).astype(np.int64)
+    positions = _resolve.ac_order_truncate(starts, ends_arr, mc)
     if params.count_matches_mode:  # whole_word forced the positions path
         return SearchResult(len(positions), _EMPTY_POS, n)
     return SearchResult(len(positions), positions, n)

@@ -68,49 +68,6 @@ def scan_multi(
     return total, lines, out_masks
 
 
-def _attribute_starts(data: np.ndarray, starts: np.ndarray, patterns, params):
-    """Host attribution at union start positions: which patterns (with
-    multiplicity) match at each flagged start. Returns (starts, ends)."""
-    n = data.shape[0]
-    t = data
-    if not params.case_sensitive:
-        t = np.where((t >= 0x41) & (t <= 0x5A), t + 32, t).astype(np.uint8)
-
-    def _is_word(b):
-        return (
-            ((b >= 0x30) & (b <= 0x39))
-            | ((b >= 0x41) & (b <= 0x5A))
-            | ((b >= 0x61) & (b <= 0x7A))
-            | (b == 0x5F)
-        )
-
-    all_s, all_e = [], []
-    for p in patterns:
-        pk = np.frombuffer(p, np.uint8)
-        if not params.case_sensitive:
-            pk = np.where((pk >= 0x41) & (pk <= 0x5A), pk + 32, pk).astype(np.uint8)
-        mk = len(pk)
-        cand = starts[starts + mk <= n]
-        if len(cand) == 0:
-            continue
-        idx = cand[:, None] + np.arange(mk)
-        ok = (t[idx] == pk).all(axis=1)
-        cand = cand[ok]
-        if params.whole_word and len(cand):
-            before_ok = np.ones(len(cand), bool)
-            nz = cand > 0
-            before_ok[nz] = ~_is_word(data[cand[nz] - 1])
-            after_ok = np.ones(len(cand), bool)
-            inr = cand + mk < n
-            after_ok[inr] = ~_is_word(data[cand[inr] + mk])
-            cand = cand[before_ok & after_ok]
-        all_s.append(cand)
-        all_e.append(cand + mk)
-    if not all_s:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return np.concatenate(all_s), np.concatenate(all_e)
-
-
 def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     """Fused K-pattern SWAR device pass + host attribution."""
     from ..engine.search import SearchResult, _EMPTY_POS
@@ -144,6 +101,8 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word, want_mask=True, want_lines=False,
     )
+    from ..engine import resolve
+
     mk = np.asarray(mask).view(np.uint8)
     union_starts = np.flatnonzero(mk[:n]).astype(np.int64)
     data = (
@@ -151,14 +110,12 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
         if isinstance(text, (bytes, bytearray))
         else np.asarray(text)
     )
-    starts, ends = _attribute_starts(data, union_starts, patterns, params)
-    # AC emission order (end asc, start asc) for -m, then (start, end)
-    order = np.lexsort((starts, ends))
-    starts, ends = starts[order], ends[order]
-    if mc is not None:
-        starts, ends = starts[:mc], ends[:mc]
-    order = np.lexsort((ends, starts))
-    positions = np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    starts, ends = resolve.attribute_patterns(
+        data, union_starts, patterns,
+        case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+        anchor="start",
+    )
+    positions = resolve.ac_order_truncate(starts, ends, mc)
     return SearchResult(len(positions), positions, n)
 
 

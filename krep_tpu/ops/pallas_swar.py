@@ -70,6 +70,23 @@ def swar_has_byte(x, b: int):
     return (v - _U(0x01010101)) & (~v) & _U(0x80808080)
 
 
+def swar_word_flags(x):
+    """Per-byte is_word_char flags (0x01 per matching byte): [0-9A-Za-z_],
+    mirror of is_word_char (krep.h:298-305), carry-less on the 7-bit plane."""
+    hb = x & _U(0x80808080)
+    a = x & _U(0x7F7F7F7F)
+
+    def ge(lo):  # flag at bit7 per byte iff byte ≥ lo (bytes < 0x80)
+        return (a + _U((0x80 - lo) * 0x01010101)) & _U(0x80808080)
+
+    digit = ge(0x30) & ~ge(0x3A)
+    upper = ge(0x41) & ~ge(0x5B)
+    lower = ge(0x61) & ~ge(0x7B)
+    und = swar_has_byte(x, 0x5F)
+    w = (digit | upper | lower | und) & ~hb
+    return (w >> _U(7)) & _U(0x01010101)
+
+
 def _phase_words(pat: bytes, p: int):
     """(t, mask, value) word constants for matches starting at byte phase p."""
     m = len(pat)
@@ -206,20 +223,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             wcb = wc0 = beforew = None
             ew_cache = {}
             if whole_word:
-                def is_word_b(x8):
-                    return (
-                        ((x8 >= 0x30) & (x8 <= 0x39))
-                        | ((x8 >= 0x41) & (x8 <= 0x5A))
-                        | ((x8 >= 0x61) & (x8 <= 0x7A))
-                        | (x8 == 0x5F)
-                    )
-
-                wcb = jnp.zeros(buf.shape, jnp.uint32)
-                for p in range(4):
-                    wcb = wcb | (
-                        is_word_b((buf >> _U(8 * p)) & _U(0xFF)).astype(jnp.uint32)
-                        << _U(8 * p)
-                    )
+                wcb = swar_word_flags(buf)
                 wc0 = wcb[:tile_r]
                 # before: flags shifted +1 byte; byte0 from previous element
                 L = _roll(wc0, 1, axis=1)
