@@ -89,9 +89,22 @@ def memchr_short_o_walk(
     return np.asarray(kept, dtype=np.int64)
 
 
-def apply_policy(starts: np.ndarray, m: int, policy: MatchPolicy) -> np.ndarray:
+def apply_policy(
+    starts: np.ndarray, m: int, policy: MatchPolicy, text_len: int | None = None
+) -> np.ndarray:
     if policy is MatchPolicy.ALL:
         return starts
+    if policy in (MatchPolicy.VECTOR_TAIL32, MatchPolicy.VECTOR_TAIL64):
+        # AVX2/AVX-512 -o semantics: overlapping matches in the vector
+        # region, greedy non-overlap (a fresh BMH) in the scalar tail —
+        # the tail starts at the last full vector window boundary
+        # (krep.c:5051-5097 / 5259-5283).
+        assert text_len is not None
+        window = 32 if policy is MatchPolicy.VECTOR_TAIL32 else 64
+        cut = text_len - (text_len % window)
+        head = starts[starts < cut]
+        tail = greedy_nonoverlap(starts[starts >= cut], m)
+        return np.concatenate([head, tail])
     return greedy_nonoverlap(starts, m)
 
 

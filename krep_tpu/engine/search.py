@@ -138,7 +138,7 @@ def _search_single_literal_sharded(params: SearchParams, text, policy) -> Search
     if not want_mask:
         c = min(count, max_count) if max_count is not None else count
         return SearchResult(c, _EMPTY_POS, n)
-    starts = resolve.apply_policy(starts, m, policy)
+    starts = resolve.apply_policy(starts, m, policy, n)
     starts = resolve.truncate_max_count(starts, max_count)
     if params.count_matches_mode:
         return SearchResult(len(starts), _EMPTY_POS, n)
@@ -191,7 +191,7 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
         count = min(all_count, max_count) if max_count is not None else all_count
         return SearchResult(count, _EMPTY_POS, n)
 
-    starts = resolve.apply_policy(starts, m, policy)
+    starts = resolve.apply_policy(starts, m, policy, n)
     starts = resolve.truncate_max_count(starts, max_count)
     positions = np.stack([starts, starts + m], axis=1).astype(np.int64)
     return SearchResult(len(starts), positions, n)

@@ -33,8 +33,8 @@ _POLICY = {
     Algorithm.BOYER_MOORE: (MatchPolicy.ALL, MatchPolicy.NONOVERLAP),
     Algorithm.KMP: (MatchPolicy.NONOVERLAP, MatchPolicy.NONOVERLAP),
     Algorithm.SSE42: (MatchPolicy.NONOVERLAP, MatchPolicy.ALL),
-    Algorithm.AVX2: (MatchPolicy.ALL, MatchPolicy.ALL),
-    Algorithm.AVX512: (MatchPolicy.ALL, MatchPolicy.ALL),
+    Algorithm.AVX2: (MatchPolicy.ALL, MatchPolicy.VECTOR_TAIL32),
+    Algorithm.AVX512: (MatchPolicy.ALL, MatchPolicy.VECTOR_TAIL64),
     Algorithm.NEON: (MatchPolicy.ALL, MatchPolicy.ALL),
     Algorithm.AHO_CORASICK: (MatchPolicy.ALL, MatchPolicy.ALL),
     Algorithm.REGEX: (MatchPolicy.NONOVERLAP, MatchPolicy.NONOVERLAP),

@@ -127,7 +127,7 @@ def scan_batch(params: SearchParams, batch: Batch):
                 min(lines, mc) if mc is not None else lines, _EMPTY_POS, e.size
             )
             continue
-        fstarts = resolve.apply_policy(fstarts, m, policy)
+        fstarts = resolve.apply_policy(fstarts, m, policy, e.size)
         fstarts = resolve.truncate_max_count(fstarts, params.max_count)
         positions = np.stack([fstarts, fstarts + m], axis=1).astype(np.int64)
         count = len(fstarts)

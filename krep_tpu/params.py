@@ -38,6 +38,11 @@ class MatchPolicy(enum.Enum):
 
     ALL = "all"                # count every start position (overlapping)
     NONOVERLAP = "nonoverlap"  # greedy left-to-right, advance by pattern_len
+    # AVX2/AVX-512 -o: the vector loop finds overlapping matches but hands
+    # the final sub-window bytes to Boyer-Moore, whose -o advance is greedy
+    # (krep.c:5058-5097). ALL before the window cut, greedy after.
+    VECTOR_TAIL32 = "vector_tail32"
+    VECTOR_TAIL64 = "vector_tail64"
 
 
 class Algorithm(enum.Enum):

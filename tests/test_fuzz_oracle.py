@@ -29,11 +29,17 @@ def gen_case(rng):
     n = int(rng.integers(0, 5000))
     text = rng.choice(alpha_arr, size=n).tobytes()
 
-    # pattern: random slice of text (likely to match) or random bytes
+    # pattern: random slice of text (likely to match) or random bytes;
+    # occasionally a long self-overlapping pattern (vector-tail -o corner)
     pats = []
     n_pats = int(rng.choice([1, 1, 1, 2, 3]))
     for _ in range(n_pats):
-        if n > 4 and rng.random() < 0.7:
+        r = rng.random()
+        if r < 0.1:
+            unit = bytes(rng.choice(alpha_arr, size=int(rng.integers(1, 3))))
+            m = int(rng.integers(17, 33))
+            pat = (unit * m)[:m]
+        elif n > 4 and r < 0.7:
             m = int(rng.integers(1, min(20, n)))
             s = int(rng.integers(0, n - m + 1))
             pat = text[s : s + m]
