@@ -73,6 +73,9 @@ def print_only_matching(
             linenos = np.where(beyond, stale + 1, linenos)
 
     fn = filename.encode() if filename is not None else None
+    if not color and len(positions) > 4096:
+        _print_only_matching_vectorized(out, buf, positions, linenos, fn)
+        return
     # batched emission, mirroring the reference's 8MB O_BATCH buffer
     # (krep.c:520-522, 697-706)
     parts = []
@@ -97,6 +100,78 @@ def print_only_matching(
 
 
 MAX_MATCHES_PER_LINE = 2048  # krep.c:496-497
+
+
+def _render_records(buf, starts, lnums, d, L, fn_arr):
+    """(k, W) byte matrix of records with d line-number digits and match
+    length L: [fn:]lineno:match\\n, all fields filled vectorized."""
+    pre = len(fn_arr) if fn_arr is not None else 0
+    W = pre + d + 1 + L + 1
+    rec = np.empty((len(starts), W), np.uint8)
+    col = 0
+    if fn_arr is not None:
+        rec[:, :pre] = fn_arr
+        col = pre
+    v = lnums.copy()
+    for j in range(d - 1, -1, -1):
+        rec[:, col + j] = 0x30 + (v % 10)
+        v //= 10
+    col += d
+    rec[:, col] = 0x3A  # ':'
+    col += 1
+    if L:
+        body = buf[starts[:, None] + np.arange(L)]
+        body = np.where(body == 10, 32, body)  # '\n' → ' ' (krep.c:736)
+        rec[:, col : col + L] = body
+    rec[:, -1] = 0x0A
+    return rec
+
+
+def _print_only_matching_vectorized(out, buf, positions, linenos, fn):
+    """Bulk no-color -o rendering. Line numbers are ascending, so their
+    digit counts form ≤10 contiguous runs; within a run, records sharing a
+    match length are a fixed-width byte matrix written contiguously —
+    no per-record Python work at all for the common single-literal case."""
+    starts = positions[:, 0].astype(np.int64)
+    mlens = (positions[:, 1] - positions[:, 0]).astype(np.int64)
+    ln = linenos.astype(np.int64)
+    fn_arr = np.frombuffer(fn + b":", np.uint8) if fn is not None else None
+
+    # digit-run boundaries (linenos ascending)
+    bounds = [0]
+    for p in range(1, 19):
+        b = int(np.searchsorted(ln, 10**p, side="left"))
+        if b > bounds[-1]:
+            bounds.append(b)
+        if b >= len(ln):
+            break
+    if bounds[-1] != len(ln):
+        bounds.append(len(ln))
+
+    for i0, i1 in zip(bounds[:-1], bounds[1:]):
+        d = len(str(int(ln[i0])))
+        run_lens = mlens[i0:i1]
+        uniq = np.unique(run_lens)
+        if len(uniq) == 1:
+            rec = _render_records(
+                buf, starts[i0:i1], ln[i0:i1], d, int(uniq[0]), fn_arr
+            )
+            out.write(rec.tobytes())
+        else:
+            # rare (multi-pattern): render per length, scatter into order
+            pre = len(fn_arr) if fn_arr is not None else 0
+            rl = pre + d + 1 + run_lens + 1
+            offs = np.concatenate([[0], np.cumsum(rl)])
+            seg = np.empty(int(offs[-1]), np.uint8)
+            for L in uniq:
+                sel = np.flatnonzero(run_lens == L)
+                rec = _render_records(
+                    buf, starts[i0:i1][sel], ln[i0:i1][sel], d, int(L), fn_arr
+                )
+                W = rec.shape[1]
+                pos = offs[sel][:, None] + np.arange(W)
+                seg[pos.reshape(-1)] = rec.reshape(-1)
+            out.write(seg.tobytes())
 
 
 def print_matching_lines(
