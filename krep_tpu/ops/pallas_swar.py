@@ -424,6 +424,8 @@ def _pick_tile(R4: int, n_patterns: int = 1) -> int:
     # (double buffering stops fitting in VMEM). Multi-pattern kernels keep
     # more live arrays (E-shift cache + per-pattern words), so scale down
     # with K to stay inside the 16 MiB scoped-VMEM limit.
+    # (512 for K=16 measured equal throughput but ~4x the compile time;
+    # keep the smaller tile beyond K=8)
     if n_patterns <= 1:
         cap = 1024
     elif n_patterns <= 8:
