@@ -185,9 +185,16 @@ def main(argv: list[str] | None = None, out=None) -> int:
         if not args:
             return _err("missing STRING_TO_SEARCH for -s")
         haystack = args[0].encode()
+        extra = args[1:]
         target = None
     else:
         target = args[0] if args else None
+        extra = args[1:]
+    if extra:
+        # mirror krep: extra positionals are an error (usage + exit 2)
+        sys.stderr.write(f"krep: Error: Extra arguments provided ('{extra[0]}'...). \n")
+        sys.stderr.write(USAGE)
+        return 2
 
     for p in patterns:
         if len(p) > 1024:
@@ -229,13 +236,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return walker.search_directory(params, target, out, color, threads)
         elif target is not None and target != "-":
             if os.path.isdir(target):
-                return _err(f"{target} is a directory (use -r)")
+                # the reference warns but exits 0 here (krep.c:3832-3838)
+                sys.stderr.write(
+                    f"krep: {target}: Is a directory (use -r to search directories)\n"
+                )
+                return 0
             from .io import files
 
             try:
                 data = files.read_bytes(target)
             except OSError as e:
-                return _err(str(e))
+                return _err(f"{target}: {e.strerror or e}")
             if not use_regex and len(patterns) > 1 and any(len(p) == 0 for p in patterns):
                 # krep.c:2298-2322 validation inside search_file
                 return _err(

@@ -109,6 +109,87 @@ def _memchr_short_o(params: SearchParams, text) -> SearchResult:
     return SearchResult(len(kept), positions, n)
 
 
+import os as _os
+
+# Single-array scans use int32 offsets; larger inputs stream through the
+# device in slabs with halo stitching (overridable for tests).
+SLAB_BYTES = int(_os.environ.get("KREP_TPU_SLAB_BYTES", 1 << 30))
+
+
+def _search_single_literal_slabbed(
+    params: SearchParams, text, policy, interpret: bool = False
+) -> SearchResult:
+    """Host-side slab loop for texts beyond the single-array size: each slab
+    is scanned with the shard-stats kernel ((m-1)-byte halo appended, the
+    reference's chunk overlap, krep.c:2837-2846) and merged exactly."""
+    import jax.numpy as jnp
+
+    from ..ops import dispatch, pallas_swar
+    from ..parallel.mesh import combine_line_counts
+
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+    n = data.shape[0]
+    m = len(params.pattern)
+    max_count = params.max_count
+
+    need_positions = params.track_positions and not params.count_matches_mode
+    want_mask = need_positions or (
+        not params.count_lines_mode and policy is not MatchPolicy.ALL
+    )
+
+    total = 0
+    stats = []
+    all_starts = []
+    pos = 0
+    while pos < n:
+        owned = min(SLAB_BYTES, n - pos)
+        slab = data[pos : min(pos + owned + m - 1, n)]
+        staged = dispatch.stage(slab)
+        tl = min(owned + m - 1, len(slab))
+        prev = 0
+        if pos > 0 and params.whole_word:
+            b = int(data[pos - 1])
+            prev = int(
+                0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A or b == 0x5F
+            )
+        c, f, trail, lead, hasnl, mask = pallas_swar.scan_shard(
+            staged.u32,
+            jnp.int32(tl),
+            jnp.int32(prev),
+            pattern=params.pattern,
+            case_sensitive=params.case_sensitive,
+            whole_word=params.whole_word,
+            want_mask=want_mask,
+            interpret=interpret,
+        )
+        total += int(c)
+        stats.append((int(f), int(lead), int(trail), int(c) > 0, int(hasnl)))
+        if want_mask:
+            mk = np.asarray(mask).view(np.uint8)[:owned]
+            all_starts.append(np.flatnonzero(mk).astype(np.int64) + pos)
+        pos += owned
+
+    if params.count_lines_mode:
+        cnts, leads, trails, anys, hasnls = zip(*stats)
+        lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
+        c = min(lines, max_count) if max_count is not None else lines
+        return SearchResult(c, _EMPTY_POS, n)
+    if not want_mask:
+        c = min(total, max_count) if max_count is not None else total
+        return SearchResult(c, _EMPTY_POS, n)
+    starts = np.concatenate(all_starts) if all_starts else np.zeros(0, np.int64)
+    starts = resolve.apply_policy(starts, m, policy, n)
+    starts = resolve.truncate_max_count(starts, max_count)
+    if params.count_matches_mode:
+        return SearchResult(len(starts), _EMPTY_POS, n)
+    positions = np.stack([starts, starts + m], axis=1).astype(np.int64)
+    return SearchResult(len(starts), positions, n)
+
+
 def _search_single_literal_sharded(params: SearchParams, text, policy) -> SearchResult:
     from ..parallel import mesh
 
@@ -170,6 +251,8 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
         # multi-chip: shard bytes across the mesh (the reference's thread
         # pool analogue, krep.c:2851-2905)
         return _search_single_literal_sharded(params, text, policy)
+    if n > SLAB_BYTES and dispatch.backend_name() == "swar":
+        return _search_single_literal_slabbed(params, text, policy)
 
     staged = dispatch.stage(text)
 
