@@ -59,10 +59,7 @@ def _device_scan_literal(staged, pattern, params, want_mask, want_lines=False):
     )
     starts = None
     if want_mask:
-        mk = np.asarray(mask)
-        if mk.dtype != np.uint8:  # SWAR kernel returns the uint32 view
-            mk = mk.view(np.uint8)
-        starts = np.flatnonzero(mk[: staged.n])
+        starts = dispatch.starts_from_device_mask(mask, staged.n)
     return int(count), int(lines), starts
 
 
@@ -141,9 +138,9 @@ def _search_single_literal_slabbed(
         not params.count_lines_mode and policy is not MatchPolicy.ALL
     )
 
-    total = 0
-    stats = []
-    all_starts = []
+    # enqueue every slab first (device_put and the scans are async — the
+    # device overlaps slab i's compute with slab i+1's staging), then sync
+    pending = []
     pos = 0
     while pos < n:
         owned = min(SLAB_BYTES, n - pos)
@@ -156,7 +153,7 @@ def _search_single_literal_slabbed(
             prev = int(
                 0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A or b == 0x5F
             )
-        c, f, trail, lead, hasnl, mask = pallas_swar.scan_shard(
+        outs = pallas_swar.scan_shard(
             staged.u32,
             jnp.int32(tl),
             jnp.int32(prev),
@@ -166,12 +163,18 @@ def _search_single_literal_slabbed(
             want_mask=want_mask,
             interpret=interpret,
         )
+        pending.append((pos, owned, outs))
+        pos += owned
+
+    total = 0
+    stats = []
+    all_starts = []
+    for pos, owned, (c, f, trail, lead, hasnl, mask) in pending:
         total += int(c)
         stats.append((int(f), int(lead), int(trail), int(c) > 0, int(hasnl)))
         if want_mask:
             mk = np.asarray(mask).view(np.uint8)[:owned]
             all_starts.append(np.flatnonzero(mk).astype(np.int64) + pos)
-        pos += owned
 
     if params.count_lines_mode:
         cnts, leads, trails, anys, hasnls = zip(*stats)

@@ -10,6 +10,7 @@ Backend knob: KREP_TPU_BACKEND = auto | xla | pallas.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -201,6 +202,43 @@ def _scan_literal_staged(
         whole_word=whole_word,
         want_mask=want_mask,
     )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _group_counts(mask2d):
+    # per-group match counts; mask words hold 0/1 bytes
+    w = mask2d.astype(jnp.uint32)
+    return jnp.sum(((w * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32), axis=1)
+
+
+GROUP_WORDS = 16384  # 64 KiB of text per group
+
+
+def starts_from_device_mask(mask_dev, n: int) -> np.ndarray:
+    """Extract match-start offsets from a device-resident mask without
+    transferring the whole thing: per-64KiB-group counts come back first
+    (tiny), then only the groups that contain matches are gathered
+    device-side and copied out. Dense masks fall back to one full copy."""
+    if mask_dev.dtype == np.uint8:  # XLA path returns bytes already on host path
+        mk = np.asarray(mask_dev)
+        return np.flatnonzero(mk[:n]).astype(np.int64)
+    size = mask_dev.size
+    if size % GROUP_WORDS != 0 or size < GROUP_WORDS * 4:
+        mk = np.asarray(mask_dev).view(np.uint8)
+        return np.flatnonzero(mk[:n]).astype(np.int64)
+    G = size // GROUP_WORDS
+    m2 = mask_dev.reshape(G, GROUP_WORDS)
+    counts = np.asarray(_group_counts(m2))
+    nz = np.flatnonzero(counts)
+    if len(nz) == 0:
+        return np.zeros(0, np.int64)
+    if len(nz) > G // 2:
+        mk = np.asarray(mask_dev).view(np.uint8)
+        return np.flatnonzero(mk[:n]).astype(np.int64)
+    sel = np.asarray(jnp.take(m2, jnp.asarray(nz), axis=0)).view(np.uint8)
+    rows, cols = np.nonzero(sel.reshape(len(nz), GROUP_WORDS * 4))
+    starts = nz[rows].astype(np.int64) * (GROUP_WORDS * 4) + cols
+    return starts[starts < n]
 
 
 def scan_literal_auto(text_arr, true_len, *, pattern, case_sensitive, whole_word, want_mask):
