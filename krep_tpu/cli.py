@@ -138,8 +138,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
         elif o == "-t":
             try:
                 threads = int(a)
+                if threads <= 0:
+                    raise ValueError
             except ValueError:
-                return _err(f"invalid thread count: {a}")
+                # reference warns and uses the default (krep.c:3522-3529)
+                sys.stderr.write(
+                    f"krep: Warning: Invalid thread count '{a}', using default.\n"
+                )
+                threads = None
         elif o == "-s":
             string_mode_pattern = a.encode()
         elif o == "-w":

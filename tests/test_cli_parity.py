@@ -95,6 +95,38 @@ def test_stdout_parity_small_corners():
             os.unlink(path)
 
 
+def test_corner_flags_parity(tmp_path):
+    """1024-byte pattern, invalid -t (warn+default), -f - from stdin."""
+    import sys
+
+    text = b"x" * 5000 + b"q" * 1030 + b"x" * 100
+    path = tmp_path / "t.txt"
+    path.write_bytes(text)
+    pat = "q" * 1024
+    for args in (["-c", "-o", pat], ["-t", "abc", "-c", "q" * 4]):
+        got, rc = ours([*args, str(path)])
+        want, wrc = oracle.run([*args, str(path)])
+        assert got.replace(str(path).encode(), b"F") == want.replace(
+            str(path).encode(), b"F"
+        )
+        assert rc == wrc
+
+    class FakeStdin:
+        buffer = io.BytesIO(b"qqqq\nxx\n")
+
+    old = sys.stdin
+    sys.stdin = FakeStdin()
+    try:
+        got, rc = ours(["-f", "-", "-c", "-o", str(path)])
+    finally:
+        sys.stdin = old
+    want, wrc = oracle.run(["-f", "-", "-c", "-o", str(path)], stdin=b"qqqq\nxx\n")
+    assert got.replace(str(path).encode(), b"F") == want.replace(
+        str(path).encode(), b"F"
+    )
+    assert rc == wrc
+
+
 def test_string_mode_parity():
     for args, text in [
         (["-s", "the"], "the cat and the dog"),
