@@ -293,20 +293,32 @@ def sharded_counts(
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver contract: jit + run one sharded scan step on tiny shapes over
-    an n-device mesh, and check it against the single-array path."""
+    """Driver contract: jit + run sharded scan steps on tiny shapes over an
+    n-device mesh — counts, line counts, positions, and the whole-word
+    boundary path — checked against the single-array reference."""
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, ("data",))
     rng = np.random.default_rng(0)
     data = np.frombuffer(
         b"the quick\nthe fox\n" * 64 + rng.bytes(512), dtype=np.uint8
     )
-    mc, lc = sharded_counts(np.asarray(data), b"the", mesh=mesh)
+    mc, lc, starts = sharded_scan(np.asarray(data), b"the", want_mask=True, mesh=mesh)
 
     # single-device reference
     from ..ops import dispatch
 
     arr, n = dispatch.stage_text(data.tobytes())
-    c, l, _ = literal.scan_literal(arr, n, pattern=b"the", want_mask=False)
+    c, l, mask = literal.scan_literal(arr, n, pattern=b"the", want_mask=True)
     assert mc == int(c), (mc, int(c))
     assert lc == int(l), (lc, int(l))
+    want = np.flatnonzero(np.asarray(mask)[: len(data)])
+    assert starts.tolist() == want.tolist()
+
+    # whole-word with a word-char straddling a shard boundary
+    mc2, lc2, _ = sharded_scan(
+        np.asarray(data), b"the", whole_word=True, mesh=mesh
+    )
+    c2, l2, _ = literal.scan_literal(
+        arr, n, pattern=b"the", whole_word=True, want_mask=False
+    )
+    assert mc2 == int(c2) and lc2 == int(l2)

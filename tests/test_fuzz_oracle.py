@@ -20,6 +20,7 @@ ALPHABETS = [
     b"abcde \n",
     b"the quick brown fox\n_",    # word chars + separators
     bytes(range(32, 127)) + b"\n",  # printable ASCII
+    bytes([0, 1, 10, 65, 97, 255]) * 2,  # binary: NULs, high bytes, newlines
 ]
 
 
