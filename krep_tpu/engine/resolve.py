@@ -158,9 +158,14 @@ def attribute_patterns(
             cand = s[s >= 0]
         if len(cand) == 0:
             continue
-        idx = cand[:, None] + np.arange(mk)
-        ok = (t[idx] == pk).all(axis=1)
-        cand = cand[ok]
+        # chunk the verification matrix (candidates x pattern_len bytes)
+        keep = []
+        CH = max(1, (64 << 20) // max(mk, 1))
+        for i0 in range(0, len(cand), CH):
+            cc = cand[i0 : i0 + CH]
+            idx = cc[:, None] + np.arange(mk)
+            keep.append(cc[(t[idx] == pk).all(axis=1)])
+        cand = np.concatenate(keep)
         if whole_word and len(cand):
             before_ok = np.ones(len(cand), bool)
             nz = cand > 0

@@ -230,6 +230,68 @@ def _search_single_literal_sharded(params: SearchParams, text, policy) -> Search
     return SearchResult(len(starts), positions, n)
 
 
+LONG_PATTERN = 64  # beyond this the device scans a prefix, the host verifies
+
+
+def _search_single_literal_longpat(params: SearchParams, text, policy) -> SearchResult:
+    """Patterns longer than the kernel's unroll budget: the device scans the
+    first LONG_PATTERN bytes as a filter (still exact on its prefix), the
+    host verifies the remaining bytes at the (sparse) candidate starts —
+    the TPU translation of 'long patterns go to scalar BMH'
+    (SIMD_MAX_PATTERN_LEN, krep.c:99-113)."""
+    from ..ops import dispatch
+
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+    n = data.shape[0]
+    m = len(params.pattern)
+    max_count = params.max_count
+
+    staged = dispatch.stage(data)
+    # whole-word before-check is prefix-position exact; the after-check
+    # depends on the full length, so defer word filtering to the host
+    _, _, mask = dispatch.scan_literal_staged(
+        staged,
+        pattern=params.pattern[:LONG_PATTERN],
+        case_sensitive=params.case_sensitive,
+        whole_word=False,
+        want_mask=True,
+        want_lines=False,
+    )
+    cands = dispatch.starts_from_device_mask(mask, n)
+    starts, _ = resolve.attribute_patterns(
+        data, cands, (params.pattern,),
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        anchor="start",
+    )
+
+    if params.count_lines_mode:
+        nl = resolve.newline_positions_host(data)
+        try:
+            from ..native import runtime as _native
+
+            lines = _native.distinct_lines(
+                np.ascontiguousarray(starts, np.int64),
+                np.ascontiguousarray(nl, np.int64),
+            )
+        except Exception:
+            lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
+        return SearchResult(
+            min(lines, max_count) if max_count is not None else lines, _EMPTY_POS, n
+        )
+
+    starts = resolve.apply_policy(starts, m, policy, n)
+    starts = resolve.truncate_max_count(starts, max_count)
+    if params.count_matches_mode:
+        return SearchResult(len(starts), _EMPTY_POS, n)
+    positions = np.stack([starts, starts + m], axis=1).astype(np.int64)
+    return SearchResult(len(starts), positions, n)
+
+
 def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
     from ..ops import dispatch
 
@@ -244,6 +306,11 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
         and not params.count_lines_mode
     ):
         return _memchr_short_o(params, text)
+
+    if m > LONG_PATTERN:
+        return _search_single_literal_longpat(
+            params, text, sel.policy(params.only_matching)
+        )
 
     policy = sel.policy(params.only_matching)
     max_count = params.max_count

@@ -119,13 +119,83 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     return SearchResult(len(positions), positions, n)
 
 
+def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
+    """Pattern sets containing members beyond the kernel's 64-byte unroll
+    budget: short members scan fused, long members scan their 64-byte
+    prefix as a filter; the union of candidate starts is attributed and
+    verified host-side (exact, any K)."""
+    from ..engine import resolve
+    from ..engine.search import LONG_PATTERN, SearchResult, _EMPTY_POS
+    from . import dispatch
+
+    n = len(text)
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+    staged = dispatch.stage(data)
+    pieces = []
+
+    shorts = tuple(p for p in patterns if len(p) <= LONG_PATTERN)
+    longs = tuple(p for p in patterns if len(p) > LONG_PATTERN)
+
+    use_swar = dispatch.backend_name() == "swar"
+    for i in range(0, len(shorts), FUSED_MAX):
+        g = shorts[i : i + FUSED_MAX]
+        if use_swar:
+            from . import pallas_swar
+
+            _, _, mask = pallas_swar.scan_multi(
+                staged.u32, staged.true_len, patterns=g,
+                case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word, want_mask=True, want_lines=False,
+            )
+            pieces.append(dispatch.starts_from_device_mask(mask, n))
+        else:
+            _, _, masks = scan_multi(
+                staged.u8, staged.true_len, patterns=g,
+                case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word, want_masks=True,
+            )
+            for pk in masks:
+                pieces.append(np.flatnonzero(np.asarray(pk)[:n]).astype(np.int64))
+    for p in longs:
+        _, _, mask = dispatch.scan_literal_staged(
+            staged, pattern=p[:LONG_PATTERN],
+            case_sensitive=params.case_sensitive, whole_word=False,
+            want_mask=True, want_lines=False,
+        )
+        pieces.append(dispatch.starts_from_device_mask(mask, n))
+
+    anchors = (
+        np.unique(np.concatenate(pieces)) if pieces else np.zeros(0, np.int64)
+    )
+    starts, ends = resolve.attribute_patterns(
+        data, anchors, patterns,
+        case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+        anchor="start",
+    )
+    mc = params.max_count
+    if params.count_lines_mode:
+        nl = resolve.newline_positions_host(data)
+        lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
+        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
+    positions = resolve.ac_order_truncate(starts, ends, mc)
+    if params.count_matches_mode or not params.track_positions:
+        return SearchResult(len(positions), _EMPTY_POS, n)
+    return SearchResult(len(positions), positions, n)
+
+
 def search_multi(params: SearchParams, text) -> "SearchResult":
-    from ..engine.search import SearchResult, _EMPTY_POS
+    from ..engine.search import LONG_PATTERN, SearchResult, _EMPTY_POS
 
     n = len(text)
     patterns = tuple(p for p in params.patterns if len(p) > 0)
     if not patterns or n == 0:
         return SearchResult(0, _EMPTY_POS, n)
+    if any(len(p) > LONG_PATTERN for p in patterns):
+        return _search_multi_mixed(params, text, patterns)
     if len(patterns) > FUSED_MAX:
         from . import dfa
 

@@ -173,8 +173,11 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
 
-        # element shifts E_t (flat left shift by t uint32 elements)
+        # element shifts E_t (flat left shift by t uint32 elements); the
+        # cache is capped — long patterns touch hundreds of distinct shifts
+        # and caching them all overflows VMEM (recompute instead)
         ecache = {}
+        E_CACHE_MAX = 24
 
         def E(t):
             if t in ecache:
@@ -187,7 +190,8 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 v0 = _roll(rolled, -rs, axis=0)[:tile_r] if rs else rolled[:tile_r]
                 v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
                 v = jnp.where(lane_idx < LANES - ls, v0, v1)
-            ecache[t] = v
+            if len(ecache) < E_CACHE_MAX:
+                ecache[t] = v
             return v
 
         e0 = E(0)
@@ -418,7 +422,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
     return kernel
 
 
-def _pick_tile(R4: int, n_patterns: int = 1) -> int:
+def _pick_tile(R4: int, n_patterns: int = 1, max_m: int = 4) -> int:
     # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
     # overhead (~1.5-2 us/step) dominates below that; 2048 regresses 4x
     # (double buffering stops fitting in VMEM). Multi-pattern kernels keep
@@ -432,6 +436,10 @@ def _pick_tile(R4: int, n_patterns: int = 1) -> int:
         cap = 512
     else:
         cap = 256
+    if max_m > 256:
+        cap = min(cap, 128)  # hundreds of uncached shift temporaries
+    elif max_m > 64:
+        cap = min(cap, 256)
     for t in (1024, 512, 384, 256, 128):
         if t <= cap and R4 % t == 0:
             return t
@@ -469,11 +477,14 @@ def _scan_raw(
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
-    tile_r = _pick_tile(R4, len(patterns))
+    tile_r = _pick_tile(R4, len(patterns), max((len(p) for p in patterns), default=4))
     T = R4 // tile_r
-    if not patterns or any(
-        len(p) == 0 or len(p) > HALO_ROWS * LANES // 2 for p in patterns
-    ):
+    # Patterns beyond 64 bytes would unroll into hundreds of shifted-word
+    # temporaries (Mosaic stack-allocates them in VMEM); callers route long
+    # patterns through the prefix-filter + host-verify path instead — the
+    # same boundary where the reference hands off to scalar BMH
+    # (SIMD_MAX_PATTERN_LEN, krep.c:99-113).
+    if not patterns or any(len(p) == 0 or len(p) > 64 for p in patterns):
         raise NotImplementedError("pattern length outside kernel support")
 
     tl = jnp.stack(

@@ -75,11 +75,36 @@ def test_sparse_skip_path():
 
 
 def test_long_pattern_element_shifts():
-    pat = bytes(range(33, 117))  # 84 bytes: crosses many elements
+    pat = bytes(range(33, 97))  # 64 bytes: the kernel's unroll budget
     text = b"z" * 70001 + pat + b"z" * 70002 + pat
     c, l, starts = run_swar(text, pat)
     assert c == 2
     assert starts == naive.all_starts(text, pat)
+
+
+def test_over_64_rejected_and_routed():
+    """>64B patterns raise in the kernel and route through the prefix-
+    filter + host-verify path in the engine."""
+    import pytest as _pytest
+
+    pat = bytes(range(33, 118))  # 85 bytes
+    text = b"z" * 70001 + pat + b"z" * 70002 + pat + b"z" * 10
+    with _pytest.raises(NotImplementedError):
+        run_swar(text, pat)
+
+    from krep_tpu import SearchParams, search_string
+
+    p = SearchParams(patterns=(pat,), only_matching=True)
+    r = search_string(p, text)
+    assert r.positions[:, 0].tolist() == naive.all_starts(text, pat)
+    p2 = SearchParams(patterns=(pat,), count_mode=True, only_matching=True)
+    assert search_string(p2, text).count == 2  # matches
+    p2l = SearchParams(patterns=(pat,), count_mode=True)
+    assert search_string(p2l, text).count == 1  # the text is one line
+    # mixed multi-pattern set with a long member
+    p3 = SearchParams(patterns=(pat, b"zz"), only_matching=True, count_mode=True)
+    want = len(naive.all_starts(text, pat)) + len(naive.all_starts(text, b"zz"))
+    assert search_string(p3, text).count == want
 
 
 def test_case_fold_swar_high_bytes():
