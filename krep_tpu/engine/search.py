@@ -250,18 +250,27 @@ def _search_single_literal_longpat(params: SearchParams, text, policy) -> Search
     m = len(params.pattern)
     max_count = params.max_count
 
-    staged = dispatch.stage(data)
     # whole-word before-check is prefix-position exact; the after-check
     # depends on the full length, so defer word filtering to the host
-    _, _, mask = dispatch.scan_literal_staged(
-        staged,
-        pattern=params.pattern[:LONG_PATTERN],
-        case_sensitive=params.case_sensitive,
-        whole_word=False,
-        want_mask=True,
-        want_lines=False,
-    )
-    cands = dispatch.starts_from_device_mask(mask, n)
+    prefix = params.pattern[:LONG_PATTERN]
+    cand_parts = []
+    pos = 0
+    while pos < n:
+        owned = min(SLAB_BYTES, n - pos)
+        slab = data[pos : min(pos + owned + len(prefix) - 1, n)]
+        staged = dispatch.stage(slab)
+        _, _, mask = dispatch.scan_literal_staged(
+            staged,
+            pattern=prefix,
+            case_sensitive=params.case_sensitive,
+            whole_word=False,
+            want_mask=True,
+            want_lines=False,
+        )
+        cs = dispatch.starts_from_device_mask(mask, len(slab))
+        cand_parts.append(cs[cs < owned] + pos)
+        pos += owned
+    cands = np.concatenate(cand_parts) if cand_parts else np.zeros(0, np.int64)
     starts, _ = resolve.attribute_patterns(
         data, cands, (params.pattern,),
         case_sensitive=params.case_sensitive,

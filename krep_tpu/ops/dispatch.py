@@ -81,6 +81,13 @@ class StagedText:
             else np.asarray(text, dtype=np.uint8)
         )
         n = buf.shape[0]
+        if n >= (1 << 31):
+            # single-array offsets are int32; bigger inputs must go through
+            # the slab loop (engine/search.py) or the sharded mesh path
+            raise NotImplementedError(
+                "single-array staging is limited to 2 GiB; use the slab or "
+                "sharded paths"
+            )
         b = bucket_size(n)
         padded = np.zeros(b, dtype=np.uint8)
         padded[:n] = buf
