@@ -197,9 +197,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
         target = args[0] if args else None
         extra = args[1:]
     if extra:
-        # mirror krep: extra positionals are an error (usage + exit 2)
+        # mirror krep: extra positionals are an error; the reference prints
+        # the error to stderr but the usage block to STDOUT, exit 2
         sys.stderr.write(f"krep: Error: Extra arguments provided ('{extra[0]}'...). \n")
-        sys.stderr.write(USAGE)
+        out.write(USAGE.encode())
+        out.flush()
         return 2
 
     for p in patterns:
@@ -236,17 +238,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
         if string_mode_pattern is not None:
             result = search_string(params, haystack)
             _emit(out, result, haystack, None, params, color)
-        elif recursive and target is not None and os.path.isdir(target):
+        elif recursive and target is not None:
+            if not os.path.isdir(target):
+                return _err(f"{target}: Is not a directory (required for -r)")
             from .io import walker
 
             return walker.search_directory(params, target, out, color, threads)
         elif target is not None and target != "-":
             if os.path.isdir(target):
-                # the reference warns but exits 0 here (krep.c:3832-3838)
-                sys.stderr.write(
-                    f"krep: {target}: Is a directory (use -r to search directories)\n"
+                return _err(
+                    f"{target}: Is a directory (use -r to search directories)"
                 )
-                return 0
             from .io import files
 
             try:

@@ -138,21 +138,34 @@ def _search_single_literal_slabbed(
         not params.count_lines_mode and policy is not MatchPolicy.ALL
     )
 
-    # enqueue every slab first (device_put and the scans are async — the
-    # device overlaps slab i's compute with slab i+1's staging), then sync
+    from ..parallel.mesh import _is_word_byte
+
+    total = 0
+    stats = []
+    all_starts = []
     pending = []
+    WINDOW = 2  # slabs in flight: overlap staging/compute, bound HBM use
+
+    def drain(entry):
+        nonlocal total
+        pos_, owned_, (c, f, trail, lead, hasnl, mask) = entry
+        total += int(c)
+        stats.append((int(f), int(lead), int(trail), int(c) > 0, int(hasnl)))
+        if want_mask:
+            mk = np.asarray(mask).view(np.uint8)[:owned_]
+            all_starts.append(np.flatnonzero(mk).astype(np.int64) + pos_)
+
     pos = 0
     while pos < n:
         owned = min(SLAB_BYTES, n - pos)
-        slab = data[pos : min(pos + owned + m - 1, n)]
+        # halo: m-1 bytes to finish boundary matches + 1 byte so the
+        # whole-word after-check at the last owned start sees real text
+        slab = data[pos : min(pos + owned + m, n)]
         staged = dispatch.stage(slab)
         tl = min(owned + m - 1, len(slab))
         prev = 0
         if pos > 0 and params.whole_word:
-            b = int(data[pos - 1])
-            prev = int(
-                0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A or b == 0x5F
-            )
+            prev = int(_is_word_byte(int(data[pos - 1])))
         outs = pallas_swar.scan_shard(
             staged.u32,
             jnp.int32(tl),
@@ -164,17 +177,11 @@ def _search_single_literal_slabbed(
             interpret=interpret,
         )
         pending.append((pos, owned, outs))
+        if len(pending) > WINDOW:
+            drain(pending.pop(0))
         pos += owned
-
-    total = 0
-    stats = []
-    all_starts = []
-    for pos, owned, (c, f, trail, lead, hasnl, mask) in pending:
-        total += int(c)
-        stats.append((int(f), int(lead), int(trail), int(c) > 0, int(hasnl)))
-        if want_mask:
-            mk = np.asarray(mask).view(np.uint8)[:owned]
-            all_starts.append(np.flatnonzero(mk).astype(np.int64) + pos)
+    for entry in pending:
+        drain(entry)
 
     if params.count_lines_mode:
         cnts, leads, trails, anys, hasnls = zip(*stats)

@@ -24,12 +24,19 @@ from . import literal
 # CPU-only processes skip it — cache writes on the CPU backend have been
 # observed to segfault inside jax's zstandard compression, and CPU compiles
 # are cheap anyway.
-def _platform_hint() -> str:
-    cfg = getattr(jax.config, "jax_platforms", None) or ""
-    return cfg or os.environ.get("JAX_PLATFORMS", "")
+def _cpu_backend() -> bool:
+    hint = (getattr(jax.config, "jax_platforms", None) or "") or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    if hint:
+        return "cpu" in hint
+    try:  # no explicit platform: resolve the default backend
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True  # fail safe: no cache
 
 
-if os.environ.get("KREP_TPU_NO_CACHE") != "1" and "cpu" not in _platform_hint():
+if os.environ.get("KREP_TPU_NO_CACHE") != "1" and not _cpu_backend():
     _cache_dir = os.environ.get(
         "KREP_TPU_CACHE_DIR", os.path.expanduser("~/.cache/krep_tpu/jax")
     )

@@ -120,12 +120,15 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
 
 
 def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
-    """Pattern sets containing members beyond the kernel's 64-byte unroll
-    budget: short members scan fused, long members scan their 64-byte
-    prefix as a filter; the union of candidate starts is attributed and
-    verified host-side (exact, any K)."""
+    """Pattern sets with members beyond the kernel's 64-byte unroll budget,
+    or texts beyond the single-array size: short members scan fused, long
+    members scan their 64-byte prefix as a filter, in slabs; the union of
+    candidate starts is attributed and verified host-side (exact, any K).
+    In-kernel whole-word filtering at slab edges is superset-safe (edges
+    look like text edges, which only ADMITS candidates) — the host
+    attribution enforces exact boundaries."""
     from ..engine import resolve
-    from ..engine.search import LONG_PATTERN, SearchResult, _EMPTY_POS
+    from ..engine.search import LONG_PATTERN, SLAB_BYTES, SearchResult, _EMPTY_POS
     from . import dispatch
 
     n = len(text)
@@ -134,39 +137,49 @@ def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
         if isinstance(text, (bytes, bytearray))
         else np.asarray(text)
     )
-    staged = dispatch.stage(data)
     pieces = []
 
     shorts = tuple(p for p in patterns if len(p) <= LONG_PATTERN)
     longs = tuple(p for p in patterns if len(p) > LONG_PATTERN)
-
     use_swar = dispatch.backend_name() == "swar"
-    for i in range(0, len(shorts), FUSED_MAX):
-        g = shorts[i : i + FUSED_MAX]
-        if use_swar:
-            from . import pallas_swar
 
-            _, _, mask = pallas_swar.scan_multi(
-                staged.u32, staged.true_len, patterns=g,
-                case_sensitive=params.case_sensitive,
-                whole_word=params.whole_word, want_mask=True, want_lines=False,
+    pos = 0
+    while pos < n:
+        owned = min(SLAB_BYTES, n - pos)
+        slab = data[pos : min(pos + owned + LONG_PATTERN, n)]
+        staged = dispatch.stage(slab)
+
+        def add_piece(starts):
+            starts = starts[starts < owned]
+            pieces.append(starts.astype(np.int64) + pos)
+
+        for i in range(0, len(shorts), FUSED_MAX):
+            g = shorts[i : i + FUSED_MAX]
+            if use_swar:
+                from . import pallas_swar
+
+                _, _, mask = pallas_swar.scan_multi(
+                    staged.u32, staged.true_len, patterns=g,
+                    case_sensitive=params.case_sensitive,
+                    whole_word=params.whole_word, want_mask=True, want_lines=False,
+                )
+                add_piece(dispatch.starts_from_device_mask(mask, len(slab)))
+            else:
+                _, _, masks = scan_multi(
+                    staged.u8, staged.true_len, patterns=g,
+                    case_sensitive=params.case_sensitive,
+                    whole_word=params.whole_word, want_masks=True,
+                )
+                for pk in masks:
+                    add_piece(np.flatnonzero(np.asarray(pk)[: len(slab)]))
+        for p in longs:
+            _, _, mask = dispatch.scan_literal_staged(
+                staged, pattern=p[:LONG_PATTERN],
+                case_sensitive=params.case_sensitive, whole_word=False,
+                want_mask=True, want_lines=False,
             )
-            pieces.append(dispatch.starts_from_device_mask(mask, n))
-        else:
-            _, _, masks = scan_multi(
-                staged.u8, staged.true_len, patterns=g,
-                case_sensitive=params.case_sensitive,
-                whole_word=params.whole_word, want_masks=True,
-            )
-            for pk in masks:
-                pieces.append(np.flatnonzero(np.asarray(pk)[:n]).astype(np.int64))
-    for p in longs:
-        _, _, mask = dispatch.scan_literal_staged(
-            staged, pattern=p[:LONG_PATTERN],
-            case_sensitive=params.case_sensitive, whole_word=False,
-            want_mask=True, want_lines=False,
-        )
-        pieces.append(dispatch.starts_from_device_mask(mask, n))
+            add_piece(dispatch.starts_from_device_mask(mask, len(slab)))
+        pos += owned
 
     anchors = (
         np.unique(np.concatenate(pieces)) if pieces else np.zeros(0, np.int64)
@@ -188,13 +201,13 @@ def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
 
 
 def search_multi(params: SearchParams, text) -> "SearchResult":
-    from ..engine.search import LONG_PATTERN, SearchResult, _EMPTY_POS
+    from ..engine.search import LONG_PATTERN, SLAB_BYTES, SearchResult, _EMPTY_POS
 
     n = len(text)
     patterns = tuple(p for p in params.patterns if len(p) > 0)
     if not patterns or n == 0:
         return SearchResult(0, _EMPTY_POS, n)
-    if any(len(p) > LONG_PATTERN for p in patterns):
+    if any(len(p) > LONG_PATTERN for p in patterns) or n > SLAB_BYTES:
         return _search_multi_mixed(params, text, patterns)
     if len(patterns) > FUSED_MAX:
         from . import dfa

@@ -173,9 +173,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
 
-        # element shifts E_t (flat left shift by t uint32 elements); the
-        # cache is capped — long patterns touch hundreds of distinct shifts
-        # and caching them all overflows VMEM (recompute instead)
+        # element shifts E_t (flat left shift by t uint32 elements), cached
+        # and capped (patterns are ≤64 bytes ⇒ ≤17 distinct shifts; the cap
+        # is a guard against VMEM-stack blowup if that bound ever moves)
         ecache = {}
         E_CACHE_MAX = 24
 
@@ -422,7 +422,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
     return kernel
 
 
-def _pick_tile(R4: int, n_patterns: int = 1, max_m: int = 4) -> int:
+def _pick_tile(R4: int, n_patterns: int = 1) -> int:
     # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
     # overhead (~1.5-2 us/step) dominates below that; 2048 regresses 4x
     # (double buffering stops fitting in VMEM). Multi-pattern kernels keep
@@ -436,10 +436,6 @@ def _pick_tile(R4: int, n_patterns: int = 1, max_m: int = 4) -> int:
         cap = 512
     else:
         cap = 256
-    if max_m > 256:
-        cap = min(cap, 128)  # hundreds of uncached shift temporaries
-    elif max_m > 64:
-        cap = min(cap, 256)
     for t in (1024, 512, 384, 256, 128):
         if t <= cap and R4 % t == 0:
             return t
@@ -477,7 +473,7 @@ def _scan_raw(
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
-    tile_r = _pick_tile(R4, len(patterns), max((len(p) for p in patterns), default=4))
+    tile_r = _pick_tile(R4, len(patterns))
     T = R4 // tile_r
     # Patterns beyond 64 bytes would unroll into hundreds of shifted-word
     # temporaries (Mosaic stack-allocates them in VMEM); callers route long

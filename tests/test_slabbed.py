@@ -57,6 +57,43 @@ def test_slabbed_boundary_matches():
     assert r.positions[:, 0].tolist() == naive.all_starts(text, b"needle")
 
 
+def test_slabbed_whole_word_after_boundary():
+    """The whole-word after-check at the last owned start needs one real
+    byte beyond the match — a word char right after a slab boundary must
+    reject the match (review regression)."""
+    slab = 100_000
+    body = bytearray(b" " * 250_000)
+    body[slab - 2 : slab + 1] = b"abc"   # 'ab' ends exactly at the boundary
+    body[slab + 10 : slab + 13] = b"ab "  # control: valid whole word
+    text = bytes(body)
+    p = SearchParams(patterns=(b"ab",), whole_word=True, count_mode=True,
+                     only_matching=True)
+    r = slabbed(p, text, slab)
+    want = naive.all_starts(text, b"ab", whole_word=True)
+    assert r.count == len(want) == 1
+
+
+def test_mixed_multi_slabbed():
+    """Multi-pattern mixed path iterates slabs (long member + boundary)."""
+    from krep_tpu.ops import multi as multi_mod
+    from krep_tpu.engine import search as sm
+
+    longpat = bytes(range(33, 118))  # 85 bytes
+    text = bytearray(naive.gen_corpus(7, 250_000))
+    text[99_990 : 99_990 + 85] = longpat
+    text[200_000 : 200_085] = longpat
+    text = bytes(text)
+    p = SearchParams(patterns=(longpat, b"the"), only_matching=True, count_mode=True)
+    old = sm.SLAB_BYTES
+    sm.SLAB_BYTES = 100_000
+    try:
+        r = multi_mod._search_multi_mixed(p, text, p.patterns)
+    finally:
+        sm.SLAB_BYTES = old
+    want = len(naive.all_starts(text, longpat)) + len(naive.all_starts(text, b"the"))
+    assert r.count == want
+
+
 def test_slabbed_nonoverlap_across_boundary():
     """Greedy policy is applied globally, not per slab."""
     text = b"ab" * 150_000  # matches everywhere
