@@ -227,7 +227,11 @@ def sharded_scan(
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
     from ..ops import dispatch
 
-    use_swar = dispatch.backend_name() == "swar"
+    # The SWAR path is a Mosaic (TPU-only) kernel: route by the *mesh's*
+    # platform, not the process default backend — the dryrun may run on a
+    # virtual CPU mesh while the default backend is a TPU client.
+    mesh_platform = mesh.devices.flat[0].platform
+    use_swar = dispatch.backend_name() == "swar" and mesh_platform != "cpu"
     if use_swar:
         slab_np, prev_np, shard = build_shards_staged(np.asarray(data, np.uint8), D)
         slab = jax.device_put(slab_np, sharding)
@@ -292,11 +296,36 @@ def sharded_counts(
     return c, l
 
 
+def pick_devices(n_devices: int):
+    """Select n healthy devices for the mesh. The default platform may be a
+    single real TPU chip or an unhealthy tunnel client (libtpu client/terminal
+    version skew surfaces at device_put, not at enumeration), while the
+    driver validates multi-chip on a virtual CPU mesh
+    (--xla_force_host_platform_device_count). Probe the default backend and
+    fall back to jax.devices('cpu') when it can't provide n working devices."""
+    try:
+        devs = jax.devices()
+        if len(devs) >= n_devices:
+            probe = jax.device_put(np.zeros(8, np.uint8), devs[0])
+            np.asarray(probe)  # force a real transfer (axon ignores block_until_ready)
+            return devs[:n_devices]
+    except Exception:
+        pass
+    cpu = jax.devices("cpu")
+    if len(cpu) < n_devices:
+        raise RuntimeError(
+            f"no platform has {n_devices} healthy devices "
+            f"(default={len(jax.devices()) if jax.devices() else 0}, cpu={len(cpu)}); "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count"
+        )
+    return cpu[:n_devices]
+
+
 def dryrun(n_devices: int) -> None:
     """Driver contract: jit + run sharded scan steps on tiny shapes over an
     n-device mesh — counts, line counts, positions, and the whole-word
     boundary path — checked against the single-array reference."""
-    devs = np.array(jax.devices()[:n_devices])
+    devs = np.array(pick_devices(n_devices))
     mesh = Mesh(devs, ("data",))
     rng = np.random.default_rng(0)
     data = np.frombuffer(
@@ -304,21 +333,40 @@ def dryrun(n_devices: int) -> None:
     )
     mc, lc, starts = sharded_scan(np.asarray(data), b"the", want_mask=True, mesh=mesh)
 
-    # single-device reference
-    from ..ops import dispatch
-
-    arr, n = dispatch.stage_text(data.tobytes())
-    c, l, mask = literal.scan_literal(arr, n, pattern=b"the", want_mask=True)
-    assert mc == int(c), (mc, int(c))
-    assert lc == int(l), (lc, int(l))
-    want = np.flatnonzero(np.asarray(mask)[: len(data)])
+    # numpy-native reference: independent of any JAX backend, so the dryrun
+    # never touches a default platform that may be unhealthy (e.g. a libtpu
+    # client/terminal version skew that only surfaces at device_put)
+    c, l, want = _naive_scan(data, b"the")
+    assert mc == c, (mc, c)
+    assert lc == l, (lc, l)
     assert starts.tolist() == want.tolist()
 
     # whole-word with a word-char straddling a shard boundary
     mc2, lc2, _ = sharded_scan(
         np.asarray(data), b"the", whole_word=True, mesh=mesh
     )
-    c2, l2, _ = literal.scan_literal(
-        arr, n, pattern=b"the", whole_word=True, want_mask=False
-    )
-    assert mc2 == int(c2) and lc2 == int(l2)
+    c2, l2, _ = _naive_scan(data, b"the", whole_word=True)
+    assert mc2 == c2 and lc2 == l2, ((mc2, lc2), (c2, l2))
+
+
+def _naive_scan(data: np.ndarray, pattern: bytes, *, whole_word=False):
+    """Host numpy oracle for the dryrun: (all-starts count, matched-line
+    count, sorted start offsets). Mirrors the kernel's all-starts + word
+    boundary semantics (krep.c word boundary: [0-9A-Za-z_] neighbors)."""
+    n, m = len(data), len(pattern)
+    pat = np.frombuffer(pattern, np.uint8)
+    ok = np.ones(max(n - m + 1, 0), dtype=bool)
+    for j in range(m):
+        ok &= data[j : n - m + 1 + j] == pat[j]
+    starts = np.flatnonzero(ok).astype(np.int64)
+    if whole_word:
+        keep = []
+        for s in starts:
+            before_ok = s == 0 or not _is_word_byte(int(data[s - 1]))
+            after_ok = s + m >= n or not _is_word_byte(int(data[s + m]))
+            if before_ok and after_ok:
+                keep.append(s)
+        starts = np.asarray(keep, dtype=np.int64)
+    nl = np.flatnonzero(data == 0x0A)
+    line_of = np.searchsorted(nl, starts, side="left")
+    return int(len(starts)), int(len(np.unique(line_of))), starts
