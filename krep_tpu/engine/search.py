@@ -113,16 +113,50 @@ import os as _os
 SLAB_BYTES = int(_os.environ.get("KREP_TPU_SLAB_BYTES", 1 << 30))
 
 
+def _kept_bound_increment(starts: np.ndarray, m: int, policy, n: int, state: dict) -> int:
+    """Exact count of policy-surviving matches contributed by one drained
+    slab's starts (slabs arrive in text order), for -m early exit. `state`
+    carries the greedy non-overlap cursor across slabs; VECTOR_TAIL policies
+    only count the all-matches head region (< cut) — a safe lower bound,
+    since truncation takes matches in text order (krep.c:2950-2962)."""
+    if policy is MatchPolicy.ALL:
+        return len(starts)
+    if policy in (MatchPolicy.VECTOR_TAIL32, MatchPolicy.VECTOR_TAIL64):
+        window = 32 if policy is MatchPolicy.VECTOR_TAIL32 else 64
+        cut = n - (n % window)
+        return int(np.count_nonzero(starts < cut))
+    # NONOVERLAP: incremental greedy, bounded by the remaining budget
+    kept = 0
+    next_ok = state.get("next_ok", -1)
+    budget = state.get("budget", 1 << 62)
+    i = int(np.searchsorted(starts, next_ok, side="left"))
+    while i < len(starts) and kept < budget:
+        s = int(starts[i])
+        kept += 1
+        next_ok = s + m
+        i = int(np.searchsorted(starts, next_ok, side="left"))
+    state["next_ok"] = next_ok
+    return kept
+
+
 def _search_single_literal_slabbed(
-    params: SearchParams, text, policy, interpret: bool = False
+    params: SearchParams, text, policy, interpret: bool = False,
+    slab_bytes: int | None = None,
 ) -> SearchResult:
     """Host-side slab loop for texts beyond the single-array size: each slab
     is scanned with the shard-stats kernel ((m-1)-byte halo appended, the
-    reference's chunk overlap, krep.c:2837-2846) and merged exactly."""
+    reference's chunk overlap, krep.c:2837-2846) and merged exactly.
+
+    With -m the loop stops launching slabs once the cap is provably reached
+    (the reference's per-kernel max_count break, krep.c:1366-1367, lifted to
+    slab granularity): line counts merge monotonically (LineCountCombiner),
+    match counts are monotone, and position caps use an incremental policy
+    cursor — truncation takes matches in text order, so a prefix of slabs
+    that already yields max_count matches is exact."""
     import jax.numpy as jnp
 
     from ..ops import dispatch, pallas_swar
-    from ..parallel.mesh import combine_line_counts
+    from ..parallel.mesh import LineCountCombiner, _is_word_byte
 
     data = (
         np.frombuffer(text, np.uint8)
@@ -132,32 +166,47 @@ def _search_single_literal_slabbed(
     n = data.shape[0]
     m = len(params.pattern)
     max_count = params.max_count
+    slab_bytes = slab_bytes or SLAB_BYTES
 
     need_positions = params.track_positions and not params.count_matches_mode
     want_mask = need_positions or (
         not params.count_lines_mode and policy is not MatchPolicy.ALL
     )
 
-    from ..parallel.mesh import _is_word_byte
-
     total = 0
-    stats = []
+    combiner = LineCountCombiner()
     all_starts = []
     pending = []
     WINDOW = 2  # slabs in flight: overlap staging/compute, bound HBM use
+    kept_bound = 0  # policy-surviving matches so far (for -m early exit)
+    policy_state = {"budget": max_count if max_count is not None else (1 << 62)}
 
     def drain(entry):
-        nonlocal total
+        nonlocal total, kept_bound
         pos_, owned_, (c, f, trail, lead, hasnl, mask) = entry
         total += int(c)
-        stats.append((int(f), int(lead), int(trail), int(c) > 0, int(hasnl)))
+        combiner.push(f, lead, trail, int(c) > 0, hasnl)
         if want_mask:
             mk = np.asarray(mask).view(np.uint8)[:owned_]
-            all_starts.append(np.flatnonzero(mk).astype(np.int64) + pos_)
+            starts = np.flatnonzero(mk).astype(np.int64) + pos_
+            all_starts.append(starts)
+            if max_count is not None:
+                kept_bound += _kept_bound_increment(
+                    starts, m, policy, n, policy_state
+                )
+
+    def capped() -> bool:
+        if max_count is None:
+            return False
+        if params.count_lines_mode:
+            return combiner.total >= max_count
+        if not want_mask:
+            return total >= max_count
+        return kept_bound >= max_count
 
     pos = 0
     while pos < n:
-        owned = min(SLAB_BYTES, n - pos)
+        owned = min(slab_bytes, n - pos)
         # halo: m-1 bytes to finish boundary matches + 1 byte so the
         # whole-word after-check at the last owned start sees real text
         slab = data[pos : min(pos + owned + m, n)]
@@ -179,13 +228,17 @@ def _search_single_literal_slabbed(
         pending.append((pos, owned, outs))
         if len(pending) > WINDOW:
             drain(pending.pop(0))
+            if capped():
+                pending = []  # cap reached: later slabs can't change output
+                break
         pos += owned
     for entry in pending:
         drain(entry)
+        if capped():
+            break
 
     if params.count_lines_mode:
-        cnts, leads, trails, anys, hasnls = zip(*stats)
-        lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
+        lines = combiner.total
         c = min(lines, max_count) if max_count is not None else lines
         return SearchResult(c, _EMPTY_POS, n)
     if not want_mask:
@@ -238,6 +291,7 @@ def _search_single_literal_sharded(params: SearchParams, text, policy) -> Search
 
 
 LONG_PATTERN = 64  # beyond this the device scans a prefix, the host verifies
+EARLY_EXIT_SLAB = 64 << 20  # slab size when -m makes early termination likely
 
 
 def _search_single_literal_longpat(params: SearchParams, text, policy) -> SearchResult:
@@ -260,6 +314,22 @@ def _search_single_literal_longpat(params: SearchParams, text, policy) -> Search
     # whole-word before-check is prefix-position exact; the after-check
     # depends on the full length, so defer word filtering to the host
     prefix = params.pattern[:LONG_PATTERN]
+
+    import jax
+
+    if jax.device_count() > 1 and n >= (1 << 16):
+        # multi-chip: the prefix filter shards across the mesh like any
+        # short literal (krep.c:2851-2905); host verification below is
+        # unchanged
+        from ..parallel import mesh
+
+        _, _, cands = mesh.sharded_scan(
+            data, prefix,
+            case_sensitive=params.case_sensitive,
+            whole_word=False, want_mask=True,
+        )
+        return _finish_longpat(params, data, cands, policy)
+
     cand_parts = []
     pos = 0
     while pos < n:
@@ -278,6 +348,17 @@ def _search_single_literal_longpat(params: SearchParams, text, policy) -> Search
         cand_parts.append(cs[cs < owned] + pos)
         pos += owned
     cands = np.concatenate(cand_parts) if cand_parts else np.zeros(0, np.int64)
+    return _finish_longpat(params, data, cands, policy)
+
+
+def _finish_longpat(
+    params: SearchParams, data: np.ndarray, cands: np.ndarray, policy
+) -> SearchResult:
+    """Host verification + resolution at the device-filtered candidate
+    starts (shared by the slabbed and sharded long-pattern paths)."""
+    n = data.shape[0]
+    m = len(params.pattern)
+    max_count = params.max_count
     starts, _ = resolve.attribute_patterns(
         data, cands, (params.pattern,),
         case_sensitive=params.case_sensitive,
@@ -339,6 +420,17 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
         return _search_single_literal_sharded(params, text, policy)
     if n > SLAB_BYTES and dispatch.backend_name() == "swar":
         return _search_single_literal_slabbed(params, text, policy)
+    if (
+        max_count is not None
+        and max_count < (1 << 20)
+        and n > 2 * EARLY_EXIT_SLAB
+        and dispatch.backend_name() == "swar"
+    ):
+        # small -m cap on a large text: stream small slabs so the scan can
+        # stop at the cap (krep.c:1366-1367) instead of paying the full text
+        return _search_single_literal_slabbed(
+            params, text, policy, slab_bytes=EARLY_EXIT_SLAB
+        )
 
     staged = dispatch.stage(text)
 

@@ -59,6 +59,8 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
                 whole_word=params.whole_word, want_mask=False, want_lines=False,
             )
             total += int(t)
+            if mc is not None and total >= mc:
+                break  # -m cap reached: later groups can't lower the count
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
     union = np.zeros(n, dtype=np.uint8)
@@ -170,6 +172,7 @@ def _grouped_fallback(params: SearchParams, text) -> "SearchResult":
     text_arr, true_len = dispatch.stage_text(text)
     need_positions = params.track_positions and not params.count_matches_mode
     want_masks = need_positions or params.max_count is not None or params.count_lines_mode
+    mc = params.max_count
 
     total = 0
     all_starts, all_ends = [], []
@@ -181,6 +184,8 @@ def _grouped_fallback(params: SearchParams, text) -> "SearchResult":
             whole_word=params.whole_word, want_masks=want_masks,
         )
         total += int(t)
+        if not want_masks and mc is not None and total >= mc:
+            break  # -m cap reached: later groups can't lower the count
         if want_masks:
             for p, pk in zip(g, packed):
                 s = np.flatnonzero(np.asarray(pk)[:n])
@@ -189,7 +194,6 @@ def _grouped_fallback(params: SearchParams, text) -> "SearchResult":
                 all_starts.append(s)
                 all_ends.append(s + len(p))
 
-    mc = params.max_count
     if params.count_lines_mode:
         from ..engine.resolve import newline_positions_host
 

@@ -101,3 +101,74 @@ def test_slabbed_nonoverlap_across_boundary():
     r = slabbed(p, text, 100_000)
     want = naive.greedy_nonoverlap(naive.all_starts(text, b"abab"), 4)
     assert r.positions[:, 0].tolist() == want
+
+
+def _count_scan_shard_calls(monkeypatch):
+    """Wrap pallas_swar.scan_shard to count slab launches."""
+    from krep_tpu.ops import pallas_swar
+
+    calls = {"n": 0}
+    orig = pallas_swar.scan_shard
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_swar, "scan_shard", counting)
+    return calls
+
+
+def test_slabbed_max_count_early_exit_stops_launching(monkeypatch):
+    """-m reached in the first slab must stop launching later slabs
+    (krep.c:1366-1367 lifted to slab granularity) while staying exact."""
+    # matches only at the very front; 8 slabs of 100k
+    text = b"the cat\n" * 1000 + b"x" * 792_000
+    want = naive.all_starts(text, b"the")
+
+    for mode, expect in [
+        ({"count_mode": True}, 5),                             # -c, 5 lines
+        ({"count_mode": True, "only_matching": True}, 5),      # -c -o, 5 matches
+        ({"only_matching": True}, 5),                          # -o positions
+        ({}, 5),                                               # default positions
+    ]:
+        calls = _count_scan_shard_calls(monkeypatch)
+        p = SearchParams(patterns=(b"the",), max_count=5, **mode)
+        r = slabbed(p, text, 100_000)
+        assert r.count == expect, mode
+        # WINDOW=2 pipelining launches at most 1 + WINDOW + 1 slabs before
+        # the first drain observes the cap
+        assert calls["n"] <= 4, (mode, calls["n"])
+        if not p.count_lines_mode and p.track_positions and not p.count_matches_mode:
+            assert r.positions[:, 0].tolist() == want[:5]
+        monkeypatch.undo()
+
+
+def test_slabbed_max_count_exactness_vs_unslabbed():
+    """Early exit never changes results: slabbed+capped == naive truncation
+    for every mode, including caps that land mid-slab and past-the-end."""
+    text = naive.gen_english(17, 300_000)
+    starts = naive.all_starts(text, b"the")
+    nmatch = len(starts)
+    for mc in [0, 1, 3, nmatch - 1, nmatch, nmatch + 5]:
+        p = SearchParams(patterns=(b"the",), only_matching=True, max_count=mc)
+        r = slabbed(p, text, 60_000)
+        assert r.positions[:, 0].tolist() == starts[:mc], mc
+
+        pc = SearchParams(patterns=(b"the",), count_mode=True, max_count=mc)
+        rc = slabbed(pc, text, 60_000)
+        assert rc.count == min(naive.matched_lines(text, starts), mc), mc
+
+
+def test_slabbed_max_count_nonoverlap_policy():
+    """-m with the greedy non-overlap policy: the incremental cursor must
+    agree with a full-text greedy pass."""
+    text = b"abab" * 50_000  # dense overlapping matches, 2 slabs
+    allstarts = naive.all_starts(text, b"abab")
+    kept = naive.greedy_nonoverlap(allstarts, 4)
+    for mc in [1, 7, 1000]:
+        p = SearchParams(
+            patterns=(b"abab",), algo_override="kmp", only_matching=True,
+            max_count=mc,
+        )
+        r = slabbed(p, text, 100_000)
+        assert r.positions[:, 0].tolist() == kept[:mc], mc
