@@ -200,6 +200,48 @@ def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
     return SearchResult(len(positions), positions, n)
 
 
+def _search_multi_sharded(params: SearchParams, text, patterns) -> "SearchResult":
+    """Fused K-pattern scan sharded across the device mesh (the reference's
+    chunk threads sharing one read-only AC trie, krep.c:2524-2536): per-shard
+    union masks + psum'd totals, host-side attribution at the sparse union
+    starts."""
+    from ..engine import resolve
+    from ..engine.search import SearchResult, _EMPTY_POS
+    from ..parallel import mesh
+
+    n = len(text)
+    data = (
+        np.frombuffer(text, np.uint8)
+        if isinstance(text, (bytes, bytearray))
+        else np.asarray(text)
+    )
+    mc = params.max_count
+    need_positions = params.track_positions and not params.count_matches_mode
+    total, lines, union_starts = mesh.sharded_scan(
+        data,
+        patterns,
+        case_sensitive=params.case_sensitive,
+        whole_word=params.whole_word,
+        want_mask=need_positions,
+    )
+    if params.count_lines_mode:
+        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
+    if not need_positions:
+        return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
+    starts, ends = resolve.attribute_patterns(
+        data, union_starts, patterns,
+        case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+        anchor="start",
+    )
+    positions = resolve.ac_order_truncate(starts, ends, mc)
+    if params.count_matches_mode or not params.track_positions:
+        return SearchResult(len(positions), _EMPTY_POS, n)
+    return SearchResult(len(positions), positions, n)
+
+
+SHARD_MIN_BYTES = 1 << 16
+
+
 def search_multi(params: SearchParams, text) -> "SearchResult":
     from ..engine.search import LONG_PATTERN, SLAB_BYTES, SearchResult, _EMPTY_POS
 
@@ -209,6 +251,11 @@ def search_multi(params: SearchParams, text) -> "SearchResult":
         return SearchResult(0, _EMPTY_POS, n)
     if any(len(p) > LONG_PATTERN for p in patterns) or n > SLAB_BYTES:
         return _search_multi_mixed(params, text, patterns)
+
+    import jax
+
+    if jax.device_count() > 1 and n >= SHARD_MIN_BYTES and len(patterns) <= FUSED_MAX:
+        return _search_multi_sharded(params, text, patterns)
     if len(patterns) > FUSED_MAX:
         from . import dfa
 

@@ -39,6 +39,19 @@ from .dispatch import HALO_ROWS, LANES
 
 H4 = HALO_ROWS // 4  # halo rows in the uint32 view (4 bytes/lane ⇒ /4)
 
+import os as _os
+
+# Element-level affine-scan dtype for the matched-line accounting. The
+# (A, B) values are 0/1 bits; narrower lanes pack more elements per VREG,
+# cutting the VPU op count of the 7-step lane log-scan (the dominant cost
+# of the "-c" path per BENCH_NOTES). i32 is the always-works baseline;
+# i8/i16 are measured on hardware and the best default is baked here.
+_SCAN_DTYPE = {
+    "i32": jnp.int32,
+    "i16": jnp.int16,
+    "i8": jnp.int8,
+}[_os.environ.get("KREP_TPU_LINESCAN", "i32")]
+
 _U = lambda x: jnp.uint32(x)
 
 
@@ -134,6 +147,57 @@ def _seg_scan_rows(A, B, row_idx, nrows):
     return A, B
 
 
+def _row_prefix_scan(A, B, nrows):
+    """EXCLUSIVE scan of the (nrows, 1) row-composition column, plus the
+    total composition. Returns (Aex, Bex, a_tot, b_tot) with Aex/Bex shaped
+    (nrows, 1) and the totals as scalars.
+
+    A (nrows, 1) int32 array occupies nrows/8 VREGs at 1/128 lane
+    utilization, so the naive log-scan costs ~nrows/8 VREG-ops per step —
+    comparable to the whole-tile lane scan it follows. Reshaping the column
+    to (nrows/128, 128) packs it into ~nrows/1024 VREGs; the identical scan
+    then runs at full lane utilization (~100x fewer VREG-ops)."""
+    if nrows % 128 != 0 or nrows < 256:
+        ridx = _iota2((nrows, 1), 0)
+        Ai, Bi = _seg_scan_rows(A, B, ridx, nrows)
+        Aex = _roll(Ai, 1, axis=0)
+        Bex = _roll(Bi, 1, axis=0)
+        first = ridx == 0
+        Aex = jnp.where(first, 1, Aex)
+        Bex = jnp.where(first, 0, Bex)
+        last = ridx == nrows - 1
+        a_tot = jnp.max(jnp.where(last, Ai, 0))
+        b_tot = jnp.max(jnp.where(last, Bi, 0))
+        return Aex, Bex, a_tot, b_tot
+
+    r8 = nrows // 128
+    shape = (r8, 128)
+    A2 = A.reshape(shape)
+    B2 = B.reshape(shape)
+    li = _iota2(shape, 1)
+    Ai, Bi = _seg_scan_lane(A2, B2, li)          # inclusive within each row
+    ri = _iota2((r8, 1), 0)
+    SA, SB = _seg_scan_rows(Ai[:, 127:], Bi[:, 127:], ri, r8)  # row totals, inclusive
+    # exclusive row prefix (composition of all earlier packed rows)
+    PA = _roll(SA, 1, axis=0)
+    PB = _roll(SB, 1, axis=0)
+    first_r = ri == 0
+    PA = jnp.where(first_r, 1, PA)
+    PB = jnp.where(first_r, 0, PB)
+    # exclusive within-row scan: shift the inclusive by one lane
+    LA = _roll(Ai, 1, axis=1)
+    LB = _roll(Bi, 1, axis=1)
+    first_l = li == 0
+    LA = jnp.where(first_l, 1, LA)
+    LB = jnp.where(first_l, 0, LB)
+    Aex = PA & LA
+    Bex = (PB & LA) | LB
+    last_r = ri == r8 - 1
+    a_tot = jnp.max(jnp.where(last_r, SA, 0))
+    b_tot = jnp.max(jnp.where(last_r, SB, 0))
+    return Aex.reshape(nrows, 1), Bex.reshape(nrows, 1), a_tot, b_tot
+
+
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
                  tile_r: int, want_stats: bool = False):
@@ -172,6 +236,16 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         shape = (tile_r, LANES)
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
+        # first byte offset of each packed element in the full text
+        gbase = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
+        # start_limit: exclusive bound on match-START positions (and on
+        # newline accounting) — the shard/slab "owned" region. Bytes in
+        # [start_limit, true_len) are halo: matches may END there but no
+        # match may START there and no newline there may close a line
+        # (the next shard owns it; cross-shard merge dedups via lead/trail).
+        # Callers guarantee start_limit is element-aligned or == true_len
+        # (beyond-true_len padding is zero), so element masking is exact.
+        start_limit = tl_ref[2]
 
         # element shifts E_t (flat left shift by t uint32 elements), cached
         # and capped (patterns are ≤64 bytes ⇒ ≤17 distinct shifts; the cap
@@ -213,14 +287,16 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
         true_len = tl_ref[0]
         nl_flags = swar_has_byte(e0, 0x0A)
-        # padding beyond true_len is zeros → no '\n' there; no correction needed
+        # newline accounting is owned-region only (element masking is exact
+        # per the start_limit contract above; padding beyond true_len is
+        # zeros → no '\n' there)
+        nl_flags = jnp.where(gbase < start_limit, nl_flags, _U(0))
         any_nl = jnp.any(nl_flags != _U(0))
 
         def full_path(_):
             # per-(pattern, phase) masks, packed immediately as bytes of one
             # uint32 (byte p == 1 ⇔ match starts at byte 4e+p) to keep the
             # VMEM high-water low — everything below runs packed.
-            gbase = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
             one = _U(0x01010101)
 
             new_wc3 = jnp.int32(0)
@@ -274,7 +350,12 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                             acc = acc & (w == _U(vl))
                         else:
                             acc = acc & ((w & _U(mk)) == _U(vl))
-                    acc = acc & (gbase + p <= true_len - m_k)
+                    # start must be in the owned region AND leave room for
+                    # the whole pattern before true_len
+                    acc = acc & (
+                        gbase + p
+                        < jnp.minimum(true_len - m_k + 1, start_limit)
+                    )
                     mw_k = mw_k | (acc.astype(jnp.uint32) << _U(8 * p))
                 if whole_word:
                     qa, ra = divmod(m_k, 4)
@@ -300,7 +381,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             # a 2-step log-scan on packed bytes, then across elements by the
             # (A,B) affine-bool lane/row scans.
             one = _U(0x01010101)
-            nlw = (swar_has_byte(e0, 0x0A) >> _U(7)) & one   # 1 ⇔ '\n'
+            nlw = (nl_flags >> _U(7)) & one   # 1 ⇔ owned '\n'
             k = nlw ^ one
             g = mword & k
 
@@ -314,9 +395,10 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             Bs = B << _U(16)
             B = (Bs & A) | B
             A = As & A
-            # element-level composition = byte 3 of the inclusive scan
-            Ae = (A >> _U(24)).astype(jnp.int32)
-            Be = (B >> _U(24)).astype(jnp.int32)
+            # element-level composition = byte 3 of the inclusive scan;
+            # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
+            Ae = (A >> _U(24)).astype(_SCAN_DTYPE)
+            Be = (B >> _U(24)).astype(_SCAN_DTYPE)
             # exclusive within word (for per-byte s_before)
             EAw = (A << _U(8)) | _U(0x01)
             EBw = B << _U(8)
@@ -327,26 +409,18 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             first_lane = lane_idx == 0
             LEA = jnp.where(first_lane, 1, LEA)
             LEB = jnp.where(first_lane, 0, LEB)
-            RA = Ai[:, LANES - 1 :]
-            RB = Bi[:, LANES - 1 :]
-            ridx = _iota2((tile_r, 1), 0)
-            RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
-            RPA = _roll(RAi, 1, axis=0)
-            RPB = _roll(RBi, 1, axis=0)
-            first_row = ridx == 0
-            RPA = jnp.where(first_row, 1, RPA)
-            RPB = jnp.where(first_row, 0, RPB)
+            # row-level composition: packed-layout scan (see _row_prefix_scan)
+            RA = Ai[:, LANES - 1 :].astype(jnp.int32)
+            RB = Bi[:, LANES - 1 :].astype(jnp.int32)
+            RPA, RPB, a_tot, b_tot = _row_prefix_scan(RA, RB, tile_r)
 
             carry = scratch[2]
-            row_state = (carry & RPA) | RPB
+            row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
             sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
             sbw = ((sb0 * one) & EAw) | EBw
             fw = mword & (sbw ^ one)
             dfirst = jnp.sum(((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32))
 
-            last_row = ridx == tile_r - 1
-            a_tot = jnp.max(jnp.where(last_row, RAi, 0))
-            b_tot = jnp.max(jnp.where(last_row, RBi, 0))
             new_carry = (carry & a_tot) | b_tot
 
             lead_tile = jnp.int32(0)
@@ -466,9 +540,12 @@ def scan_literal(
     )
 
 
+NO_LIMIT = 0x7FFFFFF0  # start_limit sentinel: no owned-region restriction
+
+
 def _scan_raw(
     text32, true_len, prev_word, *, patterns, case_sensitive, whole_word,
-    want_mask, want_lines, want_stats, interpret,
+    want_mask, want_lines, want_stats, interpret, start_limit=None,
 ):
     rows_total, lanes = text32.shape
     assert lanes == LANES
@@ -483,8 +560,14 @@ def _scan_raw(
     if not patterns or any(len(p) == 0 or len(p) > 64 for p in patterns):
         raise NotImplementedError("pattern length outside kernel support")
 
+    if start_limit is None:
+        start_limit = jnp.int32(NO_LIMIT)
     tl = jnp.stack(
-        [true_len.astype(jnp.int32), prev_word.astype(jnp.int32)]
+        [
+            true_len.astype(jnp.int32),
+            prev_word.astype(jnp.int32),
+            jnp.asarray(start_limit, jnp.int32),
+        ]
     )
     kernel = _make_kernel(
         tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
@@ -561,8 +644,40 @@ def scan_multi(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "interpret"),
+    static_argnames=(
+        "patterns", "case_sensitive", "whole_word", "want_mask", "interpret",
+    ),
 )
+def scan_shard_multi(
+    text32: jax.Array,
+    true_len: jax.Array,
+    prev_word: jax.Array,
+    start_limit: jax.Array,
+    *,
+    patterns: tuple[bytes, ...],
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = False,
+    interpret: bool = False,
+):
+    """Per-shard fused K-pattern scan for the multi-chip path: like
+    scan_multi but also returns the cross-shard line-merge stats, accepts
+    the word-char flag of the byte preceding the shard, and bounds match
+    STARTS and newline accounting to [0, start_limit) — the shard's owned
+    region — so shards of mixed-length pattern sets never double-count halo
+    bytes (the analogue of the reference sharing one AC trie across chunk
+    threads, krep.c:2524-2536, with the chunk overlap of krep.c:2837-2846).
+
+    Returns (count, local_first_in_line, trail, lead, has_nl, union mask)."""
+    counts, mask = _scan_raw(
+        text32, true_len, prev_word,
+        patterns=tuple(patterns), case_sensitive=case_sensitive,
+        whole_word=whole_word, want_mask=want_mask, want_lines=True,
+        want_stats=True, interpret=interpret, start_limit=start_limit,
+    )
+    return counts[0], counts[1], counts[2], counts[3], counts[4], mask
+
+
 def scan_shard(
     text32: jax.Array,
     true_len: jax.Array,
@@ -574,15 +689,9 @@ def scan_shard(
     want_mask: bool = False,
     interpret: bool = False,
 ):
-    """Per-shard scan for the multi-chip path: like scan_literal but also
-    returns the cross-shard line-merge stats and accepts the word-char flag
-    of the byte preceding the shard.
-
-    Returns (count, local_first_in_line, trail, lead, has_nl, mask)."""
-    counts, mask = _scan_raw(
-        text32, true_len, prev_word,
+    """Single-pattern scan_shard_multi (the slab loop's kernel)."""
+    return scan_shard_multi(
+        text32, true_len, prev_word, true_len,
         patterns=(pattern,), case_sensitive=case_sensitive,
-        whole_word=whole_word, want_mask=want_mask, want_lines=True,
-        want_stats=True, interpret=interpret,
+        whole_word=whole_word, want_mask=want_mask, interpret=interpret,
     )
-    return counts[0], counts[1], counts[2], counts[3], counts[4], mask

@@ -44,16 +44,17 @@ def build_shards(data: np.ndarray, n_shards: int, halo: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mesh"),
+    static_argnames=("patterns", "case_sensitive", "whole_word", "want_mask", "mesh"),
 )
 def _sharded_stats(
-    slab, prev_bytes, shard_len, true_len, *, pattern, case_sensitive,
+    slab, prev_bytes, shard_len, true_len, *, patterns, case_sensitive,
     whole_word, want_mask, mesh,
 ):
     """slab: (D, S+halo) uint8 sharded over 'data'. Returns per-shard
-    (all_count, line_count_local, lead, trail, any, has_nl) stacked (D,),
-    plus the per-shard start mask (D, S+halo) u8 when want_mask (halo
-    columns are zeroed — only owned starts are flagged)."""
+    (all_count over ALL patterns, line_count_local over the union, lead,
+    trail, any, has_nl) stacked (D,), plus the per-shard union start mask
+    (D, S+halo) u8 when want_mask (halo columns are zeroed — only owned
+    starts are flagged; multi-pattern attribution happens host-side)."""
 
     def per_shard(block, prev_byte, shard_len, true_len):
         block = block[0]  # (S+halo,)
@@ -61,15 +62,7 @@ def _sharded_stats(
         base = d.astype(jnp.int32) * shard_len
         # starts owned by this shard: [0, shard_len) ∩ [0, true_len - m]
         limit = jnp.minimum(shard_len, true_len - base)
-        mask = literal.all_starts_mask(
-            block,
-            pattern,
-            case_sensitive=case_sensitive,
-            whole_word=whole_word,
-            true_len=jnp.maximum(true_len - base, 0),
-        )
         idx = jnp.arange(block.shape[0], dtype=jnp.int32)
-        mask = mask & (idx < limit)
         if whole_word:
             # a shard start is not a text edge: the previous shard's last
             # byte decides the before-boundary at local index 0
@@ -80,12 +73,25 @@ def _sharded_stats(
                 | ((pb >= 0x61) & (pb <= 0x7A))
                 | (pb == 0x5F)
             )
-            mask = mask & ((idx != 0) | ~prev_is_word)
-        all_count = jnp.sum(mask.astype(jnp.int32))
+        all_count = jnp.int32(0)
+        union = jnp.zeros(block.shape, dtype=jnp.bool_)
+        for pattern in patterns:
+            mask = literal.all_starts_mask(
+                block,
+                pattern,
+                case_sensitive=case_sensitive,
+                whole_word=whole_word,
+                true_len=jnp.maximum(true_len - base, 0),
+            )
+            mask = mask & (idx < limit)
+            if whole_word:
+                mask = mask & ((idx != 0) | ~prev_is_word)
+            all_count = all_count + jnp.sum(mask.astype(jnp.int32))
+            union = union | mask
         # restrict line stats to the owned region (halo bytes belong to the
         # next shard's accounting)
         owned = jnp.where(idx < limit, block, jnp.uint8(0))
-        cnt, lead, trail, anym, hasnl = literal.shard_line_stats(mask, owned)
+        cnt, lead, trail, anym, hasnl = literal.shard_line_stats(union, owned)
         total = jax.lax.psum(all_count, "data")
         outs = (
             total[None],
@@ -96,7 +102,7 @@ def _sharded_stats(
             hasnl[None],
         )
         if want_mask:
-            outs = outs + (mask.astype(jnp.uint8)[None, :],)
+            outs = outs + (union.astype(jnp.uint8)[None, :],)
         return outs
 
     from jax import shard_map
@@ -113,20 +119,33 @@ def _sharded_stats(
     return f(slab, prev_bytes, shard_len, true_len)
 
 
+class LineCountCombiner:
+    """Incremental exact cross-shard line-count merge (see shard_line_stats).
+    `total` is monotone non-decreasing after each push — a later shard's
+    boundary dedup only subtracts from its OWN contribution — so callers may
+    early-exit (-m, krep.c:2950-2962) as soon as total reaches the cap."""
+
+    def __init__(self):
+        self.total = 0
+        self.open_match = False  # line open at shard start already has a match
+
+    def push(self, c, lead, trail, anym, hasnl) -> int:
+        self.total += int(c)
+        if self.open_match and bool(lead):
+            self.total -= 1  # the boundary-spanning line was already counted
+        if bool(hasnl):
+            self.open_match = bool(trail)
+        else:
+            self.open_match = self.open_match or bool(anym)
+        return self.total
+
+
 def combine_line_counts(local_counts, leads, trails, anys, has_nls) -> int:
     """Exact cross-shard line-count merge (see shard_line_stats)."""
-    total = 0
-    open_match = False  # line open at shard start already has a match
+    comb = LineCountCombiner()
     for c, lead, trail, anym, hasnl in zip(local_counts, leads, trails, anys, has_nls):
-        c = int(c)
-        total += c
-        if open_match and bool(lead):
-            total -= 1  # the boundary-spanning line was already counted
-        if bool(hasnl):
-            open_match = bool(trail)
-        else:
-            open_match = open_match or bool(anym)
-    return total
+        comb.push(c, lead, trail, anym, hasnl)
+    return comb.total
 
 
 def _is_word_byte(b: int) -> bool:
@@ -157,14 +176,16 @@ def build_shards_staged(data: np.ndarray, n_shards: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mesh", "interpret"),
+    static_argnames=("patterns", "case_sensitive", "whole_word", "want_mask", "mesh", "interpret"),
 )
 def _sharded_stats_swar(
-    slab, prev_words, shard_len, true_len, m_len, *, pattern, case_sensitive,
+    slab, prev_words, shard_len, true_len, m_len, *, patterns, case_sensitive,
     whole_word, want_mask, mesh, interpret=False,
 ):
-    """SWAR per-shard scan under shard_map (the fast multi-chip path).
-    Returns the same tuple layout as _sharded_stats."""
+    """SWAR fused K-pattern per-shard scan under shard_map (the fast
+    multi-chip path; one shared compiled kernel per shard, the analogue of
+    all chunk threads sharing one AC trie, krep.c:2524-2536). Returns the
+    same tuple layout as _sharded_stats."""
     from ..ops import pallas_swar
 
     def per_shard(block, prev_word, shard_len, true_len, m_len):
@@ -173,14 +194,15 @@ def _sharded_stats_swar(
         base = d.astype(jnp.int32) * shard_len
         owned = jnp.clip(true_len - base, 0, shard_len)
         # allow starts in [0, owned) whose matches extend into the halo,
-        # but never past the end of the real text
+        # but never past the end of the real text; m_len is the LONGEST
+        # pattern — shorter members are bounded by start_limit=owned
         tl_shard = jnp.minimum(owned + m_len - 1, jnp.maximum(true_len - base, 0))
         u32 = jax.lax.bitcast_convert_type(
             row.reshape(-1, 4), jnp.uint32
         ).reshape(-1, 128)
-        c, f, trail, lead, hasnl, mask = pallas_swar.scan_shard(
-            u32, tl_shard, prev_word[0, 0],
-            pattern=pattern, case_sensitive=case_sensitive,
+        c, f, trail, lead, hasnl, mask = pallas_swar.scan_shard_multi(
+            u32, tl_shard, prev_word[0, 0], owned,
+            patterns=patterns, case_sensitive=case_sensitive,
             whole_word=whole_word, want_mask=want_mask, interpret=interpret,
         )
         total = jax.lax.psum(c, "data")
@@ -207,19 +229,86 @@ def _sharded_stats_swar(
     return f(slab, prev_words, shard_len, true_len, m_len)
 
 
+GROUP_BYTES = 64 * 1024  # compaction group: 64 KiB of text
+
+
+def _starts_from_sharded_mask(mask_dev, shard: int, D: int, use_swar: bool):
+    """Device-sharded union mask → sorted absolute start offsets, without
+    transferring the whole mask: per-64KiB-group match counts come back
+    first (tiny), then only the groups containing matches are gathered
+    device-side and copied out — the mesh-path analogue of
+    dispatch.starts_from_device_mask. Dense masks fall back to one full
+    copy (the transfer is the cost either way)."""
+    if use_swar:
+        gw = GROUP_BYTES // 4  # u32 words per group
+        bytes_per_word = 4
+    else:
+        gw = GROUP_BYTES
+        bytes_per_word = 1
+    W = mask_dev.shape[1]
+
+    def full_copy():
+        masks = np.asarray(mask_dev)
+        if use_swar:
+            masks = masks.view(np.uint8).reshape(D, -1)
+        flat = np.flatnonzero(masks)
+        rows, cols = np.divmod(flat, masks.shape[1])
+        starts = (rows.astype(np.int64) * shard + cols).astype(np.int64)
+        starts.sort()
+        return starts
+
+    if W % gw != 0 or (W // gw) * D < 8:
+        return full_copy()
+    G = W // gw
+    m3 = mask_dev.reshape(D * G, gw)
+    if use_swar:
+        w = m3.astype(jnp.uint32)
+        counts = jnp.sum(
+            ((w * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32),
+            axis=1,
+        )
+    else:
+        counts = jnp.sum(m3.astype(jnp.int32), axis=1)
+    counts = np.asarray(counts)
+    nz = np.flatnonzero(counts)
+    if len(nz) == 0:
+        return np.zeros(0, np.int64)
+    if len(nz) > (D * G) // 2:
+        return full_copy()
+    sel = np.asarray(jnp.take(m3, jnp.asarray(nz), axis=0))
+    if use_swar:
+        sel = sel.view(np.uint8)
+    rows, cols = np.nonzero(sel.reshape(len(nz), gw * bytes_per_word))
+    g = nz[rows]
+    starts = (
+        (g // G).astype(np.int64) * shard
+        + (g % G).astype(np.int64) * GROUP_BYTES
+        + cols
+    )
+    starts.sort()
+    return starts
+
+
 def sharded_scan(
     data: np.ndarray,
-    pattern: bytes,
+    patterns,
     *,
     case_sensitive=True,
     whole_word=False,
     want_mask=False,
     mesh: Mesh | None = None,
 ):
-    """Scan bytes across all devices. Returns (match_count, line_count,
-    starts) — starts is a sorted int64 array of match-start offsets when
-    want_mask, else None. The analogue of the reference's per-chunk
-    match_result_merge with offset rebase (krep.c:2970-2980)."""
+    """Scan bytes across all devices for one or more literal patterns
+    (bytes, or a tuple of bytes). Returns (total_match_count, line_count
+    over the union, starts) — starts is a sorted int64 array of UNION
+    match-start offsets when want_mask, else None (multi-pattern
+    attribution happens host-side, resolve.attribute_patterns). The
+    analogue of the reference's per-chunk match_result_merge with offset
+    rebase (krep.c:2970-2980)."""
+    if isinstance(patterns, (bytes, bytearray)):
+        patterns = (bytes(patterns),)
+    patterns = tuple(patterns)
+    m_max = max(len(p) for p in patterns)
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs, ("data",))
@@ -241,16 +330,15 @@ def sharded_scan(
             prev_words,
             jnp.int32(shard),
             jnp.int32(len(data)),
-            jnp.int32(len(pattern)),
-            pattern=pattern,
+            jnp.int32(m_max),
+            patterns=patterns,
             case_sensitive=case_sensitive,
             whole_word=whole_word,
             want_mask=want_mask,
             mesh=mesh,
         )
-        mask_bytes_per_shard = shard
     else:
-        halo = max(len(pattern), 2)
+        halo = max(m_max, 2)
         slab_np, prev_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
         slab = jax.device_put(slab_np, sharding)
         prev_bytes = jax.device_put(prev_np, sharding)
@@ -259,24 +347,17 @@ def sharded_scan(
             prev_bytes,
             jnp.int32(shard),
             jnp.int32(len(data)),
-            pattern=pattern,
+            patterns=patterns,
             case_sensitive=case_sensitive,
             whole_word=whole_word,
             want_mask=want_mask,
             mesh=mesh,
         )
-        mask_bytes_per_shard = None
     total, cnts, leads, trails, anys, hasnls = map(np.asarray, out[:6])
     lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
     starts = None
     if want_mask:
-        masks = np.asarray(out[6])  # per-shard masks; non-owned flags zeroed
-        if use_swar:
-            masks = masks.view(np.uint8).reshape(D, -1)
-        flat = np.flatnonzero(masks)
-        rows, cols = np.divmod(flat, masks.shape[1])
-        starts = (rows.astype(np.int64) * shard + cols).astype(np.int64)
-        starts.sort()
+        starts = _starts_from_sharded_mask(out[6], shard, D, use_swar)
     return int(total[0]), int(lines), starts
 
 
@@ -323,8 +404,9 @@ def pick_devices(n_devices: int):
 
 def dryrun(n_devices: int) -> None:
     """Driver contract: jit + run sharded scan steps on tiny shapes over an
-    n-device mesh — counts, line counts, positions, and the whole-word
-    boundary path — checked against the single-array reference."""
+    n-device mesh — counts, line counts, positions, the whole-word boundary
+    path, a fused multi-pattern step, and the long-pattern prefix filter —
+    checked against a numpy-native reference."""
     devs = np.array(pick_devices(n_devices))
     mesh = Mesh(devs, ("data",))
     rng = np.random.default_rng(0)
@@ -347,6 +429,39 @@ def dryrun(n_devices: int) -> None:
     )
     c2, l2, _ = _naive_scan(data, b"the", whole_word=True)
     assert mc2 == c2 and lc2 == l2, ((mc2, lc2), (c2, l2))
+
+    # fused multi-pattern step (mixed lengths stress the per-pattern
+    # owned-region start limit at shard halos)
+    pats = (b"the", b"quick", b"q")
+    mc3, lc3, starts3 = sharded_scan(
+        np.asarray(data), pats, want_mask=True, mesh=mesh
+    )
+    tot = 0
+    union = set()
+    line_union = set()
+    nl = np.flatnonzero(data == 0x0A)
+    for p in pats:
+        cc, _, ss = _naive_scan(data, p)
+        tot += cc
+        union.update(ss.tolist())
+        line_union.update(np.searchsorted(nl, ss, side="left").tolist())
+    assert mc3 == tot, (mc3, tot)
+    assert lc3 == len(line_union), (lc3, len(line_union))
+    assert starts3.tolist() == sorted(union)
+
+    # long-pattern path: device prefix filter sharded over the mesh
+    from ..engine.search import _finish_longpat
+    from ..engine.select import select_algorithm
+    from ..params import SearchParams
+
+    longpat = bytes(b"the quick\nthe fox\n"[:18] * 5)  # 90 bytes, > LONG_PATTERN
+    p = SearchParams(patterns=(longpat,), count_mode=True)  # -c
+    _, _, cands = sharded_scan(
+        np.asarray(data), longpat[:64], want_mask=True, mesh=mesh
+    )
+    r = _finish_longpat(p, data, cands, select_algorithm(p).policy(False))
+    _, l4, _ = _naive_scan(data, longpat)
+    assert r.count == l4, (r.count, l4)
 
 
 def _naive_scan(data: np.ndarray, pattern: bytes, *, whole_word=False):

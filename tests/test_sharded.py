@@ -68,6 +68,111 @@ def test_search_string_routes_to_mesh():
     assert r4.count == len(naive.all_starts(text, b"THE", case_sensitive=False, whole_word=True))
 
 
+def test_sharded_multi_pattern_vs_single():
+    """Fused K-pattern sharded scan: totals, union line counts, and union
+    starts must equal the unsharded union semantics — including mixed
+    pattern lengths whose halo overlap differs per member."""
+    import jax
+    from jax.sharding import Mesh
+
+    from krep_tpu.parallel import mesh as pmesh
+
+    _need_devices(8)
+
+    text = naive.gen_english(5, 60_000)
+    data = np.frombuffer(text, np.uint8)
+    m = Mesh(np.array(jax.devices()[:8]), ("data",))
+    for pats in [
+        (b"the", b"quick"),
+        (b"the", b"e", b"brown fox jumps over"),  # 1..20 byte mix
+        (b"a", b"aa", b"aaa"),                    # nested overlaps
+    ]:
+        mc, lc, starts = pmesh.sharded_scan(data, pats, want_mask=True, mesh=m)
+        per = [naive.all_starts(text, p) for p in pats]
+        union = sorted(set().union(*[set(s) for s in per]))
+        assert mc == sum(len(s) for s in per), pats
+        assert lc == naive.matched_lines(text, union), pats
+        assert starts.tolist() == union, pats
+
+
+def test_sharded_multi_pattern_whole_word_boundaries():
+    """Whole-word multi-pattern at shard boundaries (prev-byte carry)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from krep_tpu.parallel import mesh as pmesh
+
+    _need_devices(8)
+
+    # shard = cdiv(4000, 8) = 500; plant word/non-word straddles
+    body = bytearray(b" x" * 2000)
+    for pos in [496, 499, 500, 1000, 1499]:
+        body[pos : pos + 3] = b"cat"
+    body[520:523] = b"dog"
+    text = bytes(body)
+    data = np.frombuffer(text, np.uint8)
+    m = Mesh(np.array(jax.devices()[:8]), ("data",))
+    pats = (b"cat", b"dog")
+    mc, lc, starts = pmesh.sharded_scan(
+        data, pats, whole_word=True, want_mask=True, mesh=m
+    )
+    per = [naive.all_starts(text, p, whole_word=True) for p in pats]
+    union = sorted(set().union(*[set(s) for s in per]))
+    assert mc == sum(len(s) for s in per)
+    assert starts.tolist() == union
+
+
+def test_search_multi_routes_to_mesh():
+    """search_string with -f style multi-pattern on ≥64KiB inputs under a
+    multi-device backend goes through the sharded path; positions and
+    -m truncation must stay AC-emission exact."""
+    from krep_tpu import SearchParams, search_string
+
+    _need_devices(8)
+
+    text = naive.gen_english(9, 150_000)
+    pats = (b"the", b"quick", b"fox")
+    p = SearchParams(patterns=pats, only_matching=True)
+    r = search_string(p, text)
+    want = []
+    for pk in pats:
+        want += [(s, s + len(pk)) for s in naive.all_starts(text, pk)]
+    want.sort()
+    assert [tuple(row) for row in r.positions.tolist()] == want
+
+    # -m truncates in AC emission order (end asc, start asc)
+    p2 = SearchParams(patterns=pats, only_matching=True, max_count=17)
+    r2 = search_string(p2, text)
+    emis = sorted(want, key=lambda se: (se[1], se[0]))[:17]
+    emis.sort()
+    assert [tuple(row) for row in r2.positions.tolist()] == emis
+
+    # -c over the union of lines
+    p3 = SearchParams(patterns=pats, count_mode=True)
+    r3 = search_string(p3, text)
+    union = sorted(set(s for s, _ in want))
+    assert r3.count == naive.matched_lines(text, union)
+
+
+def test_sharded_long_pattern_routes_to_mesh():
+    """128-byte pattern: the device prefix filter shards across the mesh,
+    host verification completes the match (krep.c SIMD_MAX_PATTERN_LEN
+    handoff, krep.c:99-113)."""
+    from krep_tpu import SearchParams, search_string
+
+    _need_devices(8)
+
+    longpat = (b"0123456789abcdef" * 8)  # 128 bytes
+    body = bytearray(naive.gen_english(11, 120_000))
+    body[5_000 : 5_128] = longpat
+    body[63_990 : 64_118] = longpat  # straddles a shard boundary
+    body[100_000 : 100_128] = longpat
+    text = bytes(body)
+    p = SearchParams(patterns=(longpat,), only_matching=True)
+    r = search_string(p, text)
+    assert r.positions[:, 0].tolist() == naive.all_starts(text, longpat)
+
+
 def test_boundary_spanning_lines():
     """Lines and matches that straddle shard boundaries are counted once."""
     import jax
