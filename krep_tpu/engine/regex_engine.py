@@ -137,8 +137,14 @@ def _parallel_chunks(n: int, data: bytes, workers: int):
     return ranges
 
 
+# Below this size the device round-trip costs more than scanning host-side.
+REGEX_FILTER_MIN_BYTES = int(
+    os.environ.get("KREP_TPU_REGEX_FILTER_MIN", 1 << 20)
+)
+
+
 def search_regex(params: SearchParams, text) -> "SearchResult":
-    from .search import SearchResult, _EMPTY_POS
+    from . import ere_analyze
 
     if isinstance(text, np.ndarray):
         data = text.tobytes()
@@ -147,15 +153,27 @@ def search_regex(params: SearchParams, text) -> "SearchResult":
     n = len(data)
 
     pattern_src = build_regex_source(params)
-    # Line-aligned chunking is only exact if no match can contain '\n'.
-    # Under REG_NEWLINE '.' and negated brackets exclude it, but a literal
-    # newline, a positive bracket ([[:space:]], [[:cntrl:]], ranges), or a
-    # GNU escape (\s, \W) can still match it — gate conservatively.
+    # Static ERE analysis: line-level filtering and line-aligned chunking
+    # are exact iff no match can contain '\n' (REG_NEWLINE: '.' and negated
+    # brackets never match it; positive brackets/classes and GNU escapes
+    # can — ere_analyze tracks all of it, conservatively).
+    analysis = ere_analyze.analyze(pattern_src)
+    line_safe = analysis is not None and analysis.newline_safe
+
+    if line_safe and analysis.literals and n >= REGEX_FILTER_MIN_BYTES:
+        # TPU prefilter: every match must contain one of the required
+        # literal factors; the device finds those lines at SWAR scan speed
+        # and the exact glibc loop visits only them.
+        try:
+            r = _search_regex_filtered(params, data, analysis.literals)
+            if r is not None:
+                return r
+        except Exception:
+            pass  # any filter failure falls back to the plain engine
+
     can_parallel = (
         n >= PARALLEL_MIN_BYTES
-        and b"\n" not in pattern_src
-        and b"[" not in pattern_src
-        and b"\\" not in pattern_src
+        and line_safe
         and os.cpu_count() and os.cpu_count() > 1
         and hasattr(os, "fork")
     )
@@ -165,6 +183,173 @@ def search_regex(params: SearchParams, text) -> "SearchResult":
         except Exception:
             pass  # fall back to sequential on any pool failure
     return _search_regex_seq(params, data)
+
+
+def _union_literal_starts(
+    arr: np.ndarray, literals, case_sensitive: bool
+) -> np.ndarray:
+    """Device scan for the union of literal-factor occurrences: sharded
+    across the mesh when available, slabbed single-chip otherwise."""
+    import jax
+
+    from ..ops import dispatch
+
+    n = arr.shape[0]
+    literals = tuple(literals)
+    if jax.device_count() > 1 and n >= (1 << 16):
+        from ..parallel import mesh
+
+        _, _, starts = mesh.sharded_scan(
+            arr, literals, case_sensitive=case_sensitive,
+            whole_word=False, want_mask=True,
+        )
+        return starts
+
+    from .search import SLAB_BYTES
+    from ..ops import multi as multi_mod
+
+    maxlen = max(len(l) for l in literals)
+    parts = []
+    pos = 0
+    while pos < n:
+        owned = min(SLAB_BYTES, n - pos)
+        slab = arr[pos : min(pos + owned + maxlen - 1, n)]
+        staged = dispatch.stage(slab)
+        if dispatch.backend_name() == "swar":
+            from ..ops import pallas_swar
+
+            # count-only first: skips the mask write/read-back entirely on
+            # hit-free slabs (the common case for a selective factor)
+            cnt, _, _ = pallas_swar.scan_multi(
+                staged.u32, staged.true_len, patterns=literals,
+                case_sensitive=case_sensitive, whole_word=False,
+                want_mask=False, want_lines=False,
+            )
+            if int(cnt) == 0:
+                cs = np.zeros(0, np.int64)
+            else:
+                _, _, mask = pallas_swar.scan_multi(
+                    staged.u32, staged.true_len, patterns=literals,
+                    case_sensitive=case_sensitive, whole_word=False,
+                    want_mask=True, want_lines=False,
+                )
+                cs = dispatch.starts_from_device_mask(mask, len(slab))
+        else:
+            _, _, masks = multi_mod.scan_multi(
+                staged.u8, staged.true_len, patterns=literals,
+                case_sensitive=case_sensitive, whole_word=False,
+                want_masks=True,
+            )
+            u = np.zeros(len(slab), bool)
+            for pk in masks:
+                u |= np.asarray(pk)[: len(slab)].astype(bool)
+            cs = np.flatnonzero(u)
+        cs = np.asarray(cs, np.int64)
+        cs = cs[cs < owned]
+        parts.append(cs + pos)
+        pos += owned
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+
+def _candidate_line_ranges(arr: np.ndarray, starts: np.ndarray):
+    """Distinct (line_start, line_end) ranges containing the given
+    positions; line_end excludes the '\\n'."""
+    n = arr.shape[0]
+    nl = np.flatnonzero(arr == 10)
+    li = np.unique(np.searchsorted(nl, starts, side="left"))
+    ls = np.zeros(len(li), np.int64)
+    p = li > 0
+    ls[p] = nl[li[p] - 1] + 1
+    le = np.full(len(li), n, np.int64)
+    inb = li < len(nl)
+    le[inb] = nl[li[inb]]
+    return np.stack([ls, le], axis=1)
+
+
+def _search_regex_filtered(params: SearchParams, data: bytes, literals):
+    """Device literal prefilter + exact regexec over candidate lines only.
+    Returns None when the candidate set is too dense to pay off (caller
+    falls back to the parallel/sequential full-text engines)."""
+    from .search import SearchResult, _EMPTY_POS
+
+    n = len(data)
+    cflags = REG_EXTENDED | REG_NEWLINE | (
+        0 if params.case_sensitive else REG_ICASE
+    )
+    src = build_regex_source(params)
+    PosixRegex(src, cflags)  # raises RegexError with the glibc message
+
+    if params.max_count == 0 and (params.count_lines_mode or params.track_positions):
+        return SearchResult(0, _EMPTY_POS, n)
+
+    arr = np.frombuffer(data, np.uint8)
+    starts = _union_literal_starts(arr, literals, params.case_sensitive)
+    if len(starts) == 0:
+        return SearchResult(0, _EMPTY_POS, n)
+    ranges = _candidate_line_ranges(arr, starts)
+    if 2 * int((ranges[:, 1] - ranges[:, 0]).sum()) >= n:
+        return None  # dense: the full-text engines win
+
+    mc = params.effective_max_count
+    try:
+        from ..native import runtime as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        count, positions = _native.regex_search_ranges(
+            src, data, ranges, cflags,
+            params.whole_word, params.count_lines_mode,
+            params.track_positions, mc,
+        )
+    else:
+        count, positions = _ranges_loop_python(
+            src, cflags, data, ranges, params, mc
+        )
+    if not params.track_positions or params.count_lines_mode:
+        positions = _EMPTY_POS
+    return SearchResult(count, positions, n)
+
+
+def _ranges_loop_python(src, cflags, data: bytes, ranges, params, max_count):
+    """Pure-Python mirror of krep_regex_search_ranges (no C toolchain)."""
+    rx = PosixRegex(src, cflags)
+    n = len(data)
+    cbuf = ctypes.create_string_buffer(data, n + 1)
+    base = ctypes.addressof(cbuf)
+    count = 0
+    positions: list[tuple[int, int]] = []
+    for ls, le in ranges.tolist():
+        if count >= max_count:
+            break
+        cur = ls
+        while cur < le:
+            at_line_start = cur == 0 or data[cur - 1] == 0x0A
+            hit = rx.exec_at(base, cur, le - cur, 0 if at_line_start else REG_NOTBOL)
+            if hit is None:
+                break
+            so, eo = hit
+            start, end = cur + so, cur + eo
+            if params.whole_word:
+                before_ok = start == 0 or not _is_word_byte(data[start - 1])
+                after_ok = end >= n or not _is_word_byte(data[end])
+                if not (before_ok and after_ok):
+                    cur = cur + so + 1
+                    continue
+            if params.count_lines_mode:
+                count += 1  # one range == one line
+                break
+            count += 1
+            if params.track_positions:
+                positions.append((start, end))
+            if count >= max_count:
+                break
+            cur += so + 1 if so == eo else eo
+    pos_arr = (
+        np.asarray(positions, dtype=np.int64).reshape(-1, 2)
+        if positions
+        else np.zeros((0, 2), np.int64)
+    )
+    return count, pos_arr
 
 
 def _search_regex_parallel(params: SearchParams, data: bytes):

@@ -194,6 +194,103 @@ int64_t krep_regex_search(const char *pattern_z, const char *text,
     return count;
 }
 
+/* Same loop restricted to candidate line ranges (sorted, disjoint,
+ * each exactly one line: start = line start, end = before the '\n' or
+ * text_len). Used by the TPU-filtered ERE path: a device literal scan
+ * proves matches can only live on these lines (REG_NEWLINE + a
+ * newline-safe pattern make lines independent), so the exact glibc loop
+ * only has to visit them. Offsets in out->pos are absolute. */
+int64_t krep_regex_search_ranges(const char *pattern_z, const char *text,
+                                 int64_t text_len, const int64_t *ranges,
+                                 int64_t n_ranges, int cflags, int whole_word,
+                                 int count_lines_mode, int track_positions,
+                                 int64_t max_count, krep_regex_result *out)
+{
+    out->count = 0;
+    out->n_pos = 0;
+    out->pos = NULL;
+    out->error = 0;
+
+    regex_t rx;
+    if (regcomp(&rx, pattern_z, cflags) != 0) {
+        out->error = 1;
+        return -1;
+    }
+
+    int64_t cap = 0;
+    int64_t count = 0;
+
+    for (int64_t r = 0; r < n_ranges && count < max_count; ++r) {
+        int64_t ls = ranges[2 * r];
+        int64_t le = ranges[2 * r + 1];
+        if (ls < 0 || le > text_len || ls > le)
+            continue;
+        int64_t cur = ls;
+        while (cur < le) {
+            regmatch_t pm;
+            pm.rm_so = 0;
+            pm.rm_eo = (regoff_t)(le - cur);
+            /* ls is a line start by construction, so NOTBOL exactly when
+             * mid-line — same as the full-buffer loop (krep.c:1432-1434) */
+            int at_line_start = (cur == 0) || (text[cur - 1] == '\n');
+            int eflags = REG_STARTEND | (at_line_start ? 0 : REG_NOTBOL);
+            int rc = regexec(&rx, text + cur, 1, &pm, eflags);
+            if (rc == REG_NOMATCH)
+                break;
+            if (rc != 0) {
+                out->error = 2;
+                goto done;
+            }
+            if (pm.rm_so < 0 || pm.rm_eo < pm.rm_so)
+                break;
+            int64_t start = cur + pm.rm_so;
+            int64_t end = cur + pm.rm_eo;
+
+            if (whole_word) {
+                int before_ok = (start == 0) ||
+                                !is_word_c((unsigned char)text[start - 1]);
+                int after_ok = (end >= text_len) ||
+                               !is_word_c((unsigned char)text[end]);
+                if (!(before_ok && after_ok)) {
+                    cur = cur + pm.rm_so + 1;
+                    continue;
+                }
+            }
+
+            if (count_lines_mode) {
+                count++;           /* one range == one line: count and move on */
+                break;
+            }
+            count++;
+            if (track_positions) {
+                if (out->n_pos >= cap) {
+                    cap = cap ? cap * 2 : 4096;
+                    int64_t *np = realloc(out->pos,
+                                          (size_t)cap * 2 * sizeof(int64_t));
+                    if (!np) {
+                        out->error = 2;
+                        goto done;
+                    }
+                    out->pos = np;
+                }
+                out->pos[out->n_pos * 2] = start;
+                out->pos[out->n_pos * 2 + 1] = end;
+                out->n_pos++;
+            }
+            if (count >= max_count)
+                goto done;
+            int64_t adv = (pm.rm_so == pm.rm_eo) ? pm.rm_so + 1 : pm.rm_eo;
+            if (adv <= 0)
+                adv = 1;
+            cur += adv;
+        }
+    }
+done:
+    regfree(&rx);
+    out->count = count;
+    return count;
+}
+
 void krep_free(void *p) { free(p); }
 
 /* Count of distinct line ids among sorted match starts, given sorted

@@ -81,6 +81,20 @@ _lib.krep_regex_search.argtypes = [
     ctypes.c_int64,           # max_count
     ctypes.POINTER(_RegexResult),
 ]
+_lib.krep_regex_search_ranges.restype = ctypes.c_int64
+_lib.krep_regex_search_ranges.argtypes = [
+    ctypes.c_char_p,          # pattern (NUL-terminated)
+    ctypes.c_char_p,          # text
+    ctypes.c_int64,           # text_len
+    _i64p,                    # ranges (k, 2) line (start, end) pairs
+    ctypes.c_int64,           # n_ranges
+    ctypes.c_int,             # cflags
+    ctypes.c_int,             # whole_word
+    ctypes.c_int,             # count_lines_mode
+    ctypes.c_int,             # track_positions
+    ctypes.c_int64,           # max_count
+    ctypes.POINTER(_RegexResult),
+]
 _lib.krep_free.restype = None
 _lib.krep_free.argtypes = [ctypes.c_void_p]
 
@@ -108,6 +122,44 @@ def regex_search(
         if res.error == 2:
             # mirror the reference: regexec failure mid-scan warns and
             # returns the partial count (krep.c:1444-1453)
+            import sys
+
+            sys.stderr.write("krep: Regex execution error (partial results)\n")
+        if res.n_pos and res.pos:
+            flat = np.ctypeslib.as_array(res.pos, shape=(res.n_pos * 2,))
+            positions = np.array(flat, dtype=np.int64).reshape(-1, 2)
+        else:
+            positions = np.zeros((0, 2), np.int64)
+    finally:
+        if res.pos:
+            _lib.krep_free(res.pos)
+    return int(res.count), positions
+
+
+def regex_search_ranges(
+    pattern: bytes,
+    text: bytes,
+    ranges: np.ndarray,
+    cflags: int,
+    whole_word: bool,
+    count_lines_mode: bool,
+    track_positions: bool,
+    max_count: int,
+):
+    """Reference regex loop restricted to candidate line ranges (the
+    TPU-filtered ERE path). ranges: (k, 2) int64 absolute [start, end) per
+    line. Returns (count, positions (k,2) int64 absolute)."""
+    res = _RegexResult()
+    ranges = np.ascontiguousarray(ranges, np.int64)
+    _lib.krep_regex_search_ranges(
+        pattern, text, len(text), ranges.reshape(-1), len(ranges), cflags,
+        int(whole_word), int(count_lines_mode), int(track_positions),
+        max_count, ctypes.byref(res),
+    )
+    try:
+        if res.error == 1:
+            raise ValueError("regex compile error")
+        if res.error == 2:
             import sys
 
             sys.stderr.write("krep: Regex execution error (partial results)\n")

@@ -1,0 +1,214 @@
+"""ERE static analysis (engine/ere_analyze.py) + the TPU-filtered regex
+path: newline-safety must be conservative (a wrong True breaks line
+chunking), factor sets must be sound (every match contains a member), and
+the filtered engine must be byte-identical to the plain loop."""
+
+import numpy as np
+import pytest
+
+import naive
+from krep_tpu import SearchParams
+from krep_tpu.engine import ere_analyze, regex_engine
+
+
+def an(src: bytes):
+    return ere_analyze.analyze(src)
+
+
+# (source, newline_safe, expected literal factor set or None for "any sound")
+CASES = [
+    (b"[A-Z][a-z]+ing", True, (b"ing",)),
+    (b"abc", True, (b"abc",)),
+    (b"a|b", True, None),                 # 1-byte factors per branch
+    (b"(foo|bar)baz", True, (b"baz",)),
+    (b"x(abc|abd)+y", True, None),        # group set or runs — sound either way
+    (b"a.c", True, None),                 # '.' never matches \n (REG_NEWLINE)
+    (b"^error", True, (b"error",)),
+    (b"failed$", True, (b"failed",)),
+    (b"\\bthe\\b", True, (b"the",)),
+    (b"(\\bthe\\b)|(\\bfox\\b)", True, (b"the", b"fox")),
+    (b"a*", True, ()),                    # may match empty — no factor
+    (b"(a|)b", True, (b"b",)),
+    (b"a{2,5}b", True, None),
+    (b"[0-9]{4}-[0-9]{2}", True, (b"-",)),
+    (b"th(e|eme)", True, (b"th",)),
+]
+
+NL_CASES = [
+    b"a\nb",            # literal newline byte
+    b"[a\n]",           # newline in positive class
+    b"[\t-\x0b]",       # range spanning \n
+    b"[[:space:]]+",    # class containing \n
+    b"[[:cntrl:]]",
+    b"a\\sb",           # GNU \s matches \n
+    b"\\W",             # non-word matches \n
+]
+
+SAFE_NL_CASES = [
+    b"[^a]",            # negated class never matches \n under REG_NEWLINE
+    b"[^\n]",
+    b".",
+    b"\\w+",
+    b"\\S",
+]
+
+
+@pytest.mark.parametrize("src,safe,lits", CASES, ids=lambda c: repr(c)[:30])
+def test_analysis_cases(src, safe, lits):
+    a = an(src)
+    assert a is not None, src
+    assert a.newline_safe == safe, src
+    if lits is not None:
+        assert a.literals == lits, (src, a.literals)
+    # soundness: every factor must appear in sample matches (checked via
+    # the engine below for a few cases; here just check they're substrings
+    # of the source when trivially extractable)
+
+
+@pytest.mark.parametrize("src", NL_CASES, ids=lambda c: repr(c)[:30])
+def test_newline_unsafe(src):
+    a = an(src)
+    assert a is None or not a.newline_safe, src
+
+
+@pytest.mark.parametrize("src", SAFE_NL_CASES, ids=lambda c: repr(c)[:30])
+def test_newline_safe(src):
+    a = an(src)
+    assert a is not None and a.newline_safe, src
+
+
+def test_unsupported_bails():
+    for src in [b"a{2", b"(unclosed", b"[unclosed", b"a\\1", b"\\d+"]:
+        assert an(src) is None, src
+
+
+def _filtered_vs_seq(text: bytes, src: bytes, **kw):
+    """The filtered path and the plain loop must agree bit-exactly."""
+    p = SearchParams(patterns=(src,), use_regex=True, **kw)
+    a = an(regex_engine.build_regex_source(p))
+    assert a is not None and a.newline_safe and a.literals, src
+    r_f = regex_engine._search_regex_filtered(p, text, a.literals)
+    r_s = regex_engine._search_regex_seq(p, text)
+    assert r_f is not None, "filter refused (too dense) — pick sparser fixture"
+    assert r_f.count == r_s.count, (src, kw)
+    assert r_f.positions.tolist() == r_s.positions.tolist(), (src, kw)
+
+
+def test_filtered_matches_seq_modes():
+    rng = np.random.default_rng(5)
+    lines = []
+    plain = [b"alpha", b"beta", b"gamma", b"delta", b"x" * 30]
+    hits = [b"Running", b"Sing", b"thing", b"ingot"]
+    for i in range(2000):
+        k = rng.integers(1, 5)
+        words = plain if i % 17 else plain + hits  # candidates on ~6% of lines
+        lines.append(b" ".join(words[j] for j in rng.integers(0, len(words), k)))
+    text = b"\n".join(lines) + b"\n"
+
+    for kw in [
+        dict(only_matching=True),                      # -o positions
+        dict(count_mode=True),                         # -c
+        dict(count_mode=True, only_matching=True),     # -c -o
+        dict(only_matching=True, max_count=7),         # -m
+        dict(whole_word=True, only_matching=True),     # -w
+        dict(case_sensitive=False, only_matching=True),  # -i
+    ]:
+        _filtered_vs_seq(text, b"[A-Z][a-z]+ing", **kw)
+    _filtered_vs_seq(text, b"(Sing|Running) beta", only_matching=True)
+
+
+def test_filtered_no_candidates():
+    text = (b"plain words only\n" * 5000)
+    p = SearchParams(patterns=(b"[A-Z][a-z]+ing",), use_regex=True,
+                     count_mode=True)
+    a = an(b"[A-Z][a-z]+ing")
+    r = regex_engine._search_regex_filtered(p, text, a.literals)
+    assert r.count == 0
+
+
+def test_filtered_dense_returns_none():
+    text = b"inging inging\n" * 5000  # every line is a candidate
+    p = SearchParams(patterns=(b"[A-Z][a-z]+ing",), use_regex=True)
+    a = an(b"[A-Z][a-z]+ing")
+    assert regex_engine._search_regex_filtered(p, text, a.literals) is None
+
+
+def test_search_regex_routes_through_filter(monkeypatch):
+    """Above the size floor, search_regex uses the filtered path and the
+    result equals the sequential engine."""
+    monkeypatch.setattr(regex_engine, "REGEX_FILTER_MIN_BYTES", 1024)
+    text = (b"nothing here\n" * 300 + b"a Singing bird\n") * 20
+    p = SearchParams(patterns=(b"[A-Z][a-z]+ing",), use_regex=True,
+                     only_matching=True)
+    r = regex_engine.search_regex(p, text)
+    want = regex_engine._search_regex_seq(p, text)
+    assert r.count == want.count == 20
+    assert r.positions.tolist() == want.positions.tolist()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_filtered_vs_seq(seed, monkeypatch):
+    """Random newline-safe EREs over random texts: search_regex with the
+    filter floor at 0 must equal the plain sequential loop (which the
+    oracle-parity suite pins against the reference binary)."""
+    monkeypatch.setattr(regex_engine, "REGEX_FILTER_MIN_BYTES", 0)
+    rng = np.random.default_rng(4200 + seed)
+    words = [b"cat", b"dog", b"bird", b"Singing", b"ring", b"INGOT", b"x"]
+    pieces = [
+        b"[A-Z][a-z]+ing", b"(cat|dog)", b"ring", b"ca?t", b"do+g",
+        b"bird{1,2}", b"^cat", b"dog$", b"[bc]ird", b"Sing(ing)?",
+    ]
+    for case in range(25):
+        n_lines = int(rng.integers(1, 120))
+        lines = []
+        for _ in range(n_lines):
+            k = int(rng.integers(0, 5))
+            lines.append(b" ".join(
+                words[j] for j in rng.integers(0, len(words), k)
+            ))
+        text = b"\n".join(lines) + (b"\n" if rng.random() < 0.8 else b"")
+        src = pieces[int(rng.integers(0, len(pieces)))]
+        if rng.random() < 0.3:
+            src = src + b"|" + pieces[int(rng.integers(0, len(pieces)))]
+        kw = {}
+        r = rng.random()
+        if r < 0.3:
+            kw["count_mode"] = True
+        elif r < 0.6:
+            kw["only_matching"] = True
+        if rng.random() < 0.3:
+            kw["whole_word"] = True
+        if rng.random() < 0.3:
+            kw["case_sensitive"] = False
+        if rng.random() < 0.3:
+            kw["max_count"] = int(rng.integers(0, 5))
+        p = SearchParams(patterns=(src,), use_regex=True, **kw)
+        got = regex_engine.search_regex(p, text)
+        want = regex_engine._search_regex_seq(p, text)
+        assert got.count == want.count, (seed, case, src, kw)
+        if got.positions.size or want.positions.size:
+            assert got.positions.tolist() == want.positions.tolist(), (
+                seed, case, src, kw
+            )
+
+
+def test_python_ranges_loop_matches_native():
+    """The no-toolchain fallback loop must mirror the C ranges loop."""
+    text = (b"x Singing y\nno\nRinging here\n" * 50)
+    p = SearchParams(patterns=(b"[A-Z][a-z]+ing",), use_regex=True,
+                     only_matching=True)
+    src = regex_engine.build_regex_source(p)
+    arr = np.frombuffer(text, np.uint8)
+    starts = regex_engine._union_literal_starts(arr, (b"ing",), True)
+    ranges = regex_engine._candidate_line_ranges(arr, starts)
+    cflags = regex_engine.REG_EXTENDED | regex_engine.REG_NEWLINE
+    cnt_py, pos_py = regex_engine._ranges_loop_python(
+        src, cflags, text, ranges, p, p.effective_max_count
+    )
+    from krep_tpu.native import runtime as native
+
+    cnt_c, pos_c = native.regex_search_ranges(
+        src, text, ranges, cflags, False, False, True, p.effective_max_count
+    )
+    assert cnt_py == cnt_c
+    assert pos_py.tolist() == pos_c.tolist()

@@ -5,7 +5,7 @@
 # Usage: tools/bench_vs_reference.sh [CORPUS] [PATTERN] [RUNS]
 set -euo pipefail
 
-CORPUS="${1:-corpus/bench_1073741824.txt}"
+CORPUS="${1:-${KREP_BENCH_CORPUS_DIR:-/tmp/krep_bench_corpus}/bench_1073741824.txt}"
 PATTERN="${2:-the}"
 RUNS="${3:-3}"
 REF_BIN="${KREP_REF:-/tmp/krep_oracle/krep}"
