@@ -174,6 +174,80 @@ def _print_only_matching_vectorized(out, buf, positions, linenos, fn):
             out.write(seg.tobytes())
 
 
+def _print_matching_lines_vectorized(out, buf, positions, lidx, nl, fn) -> bool:
+    """Bulk no-color default-mode rendering for the common case: within
+    every matched line the (sorted) spans are non-overlapping and inside
+    the line bounds, so the emission loop's output is exactly
+    `[fn:]line\\n` per matched line — built with one gather, no per-line
+    Python. Returns False when any line needs the exact slow loop
+    (overlapping spans re-emit bytes, krep.c:963-1001; >2048 spans warn)."""
+    n = buf.shape[0]
+    starts = positions[:, 0].astype(np.int64)
+    ends = positions[:, 1].astype(np.int64)
+
+    uline, first_idx, counts = np.unique(lidx, return_index=True, return_counts=True)
+    if counts.max(initial=0) > MAX_MATCHES_PER_LINE:
+        return False
+    ls = np.zeros(len(uline), np.int64)
+    p = uline > 0
+    ls[p] = nl[uline[p] - 1] + 1
+    le = np.full(len(uline), n, np.int64)
+    inb = uline < len(nl)
+    le[inb] = nl[uline[inb]]
+
+    # spans sorted by (start, end): non-overlap ⇔ each start ≥ previous
+    # end within the same line; bounds ⇔ span ⊆ [ls, le)
+    prev_end = np.empty(len(starts), np.int64)
+    prev_end[0] = -1
+    prev_end[1:] = ends[:-1]
+    same_line = np.zeros(len(starts), bool)
+    same_line[1:] = lidx[1:] == lidx[:-1]
+    if np.any(same_line & (starts < prev_end)):
+        return False
+    if np.any(starts < np.repeat(ls, counts)) or np.any(ends > np.repeat(le, counts)):
+        return False
+
+    if np.any(le == ls):
+        return False  # empty matched line (zero-length regex match): rare
+
+    # Single-gather assembly: extend the text with the prefix and a '\n'
+    # so every output byte is template[src], with src built as one cumsum
+    # of a delta array (1 everywhere, jump corrections at record field
+    # boundaries). One O(total) pass + one gather — no per-line work and
+    # no (output × fields) index matrices.
+    pre = len(fn) + 1 if fn is not None else 0
+    lengths = le - ls
+    out_len = pre + lengths + 1
+    total = int(out_len.sum())
+    if total >= (1 << 31) - 2:
+        return False
+    it = np.int32 if buf.shape[0] + pre + 2 < (1 << 31) else np.int64
+    offsets = np.zeros(len(uline), np.int64)
+    np.cumsum(out_len[:-1], out=offsets[1:])
+    offsets = offsets.astype(it)
+    parts = [buf]
+    if fn is not None:
+        parts.append(np.frombuffer(fn + b":", np.uint8))
+    parts.append(np.frombuffer(b"\n", np.uint8))
+    template = np.concatenate(parts)
+    P0 = it(n)        # prefix bytes start here in template
+    P1 = it(n + pre)  # the '\n' byte
+
+    d = np.ones(total, it)
+    last = offsets + out_len.astype(it) - 1
+    d[last] = P1 - (le - 1).astype(it)
+    if pre:
+        d[offsets] = P0 - P1
+        d[offsets + pre] = (ls - (n + pre - 1)).astype(it)
+        d[0] = P0
+    else:
+        d[offsets] = (ls - int(P1)).astype(it)
+        d[0] = it(ls[0])
+    src = np.cumsum(d, dtype=it)
+    out.write(template[src].tobytes())
+    return True
+
+
 def print_matching_lines(
     out,
     text,
@@ -198,6 +272,9 @@ def print_matching_lines(
     lidx = np.searchsorted(nl, starts, side="left")
 
     fn = filename.encode() if filename is not None else None
+    if not color and len(positions) > 4096:
+        if _print_matching_lines_vectorized(out, buf, positions, lidx, nl, fn):
+            return
     parts = []
     acc = 0
     last_line = -1
