@@ -77,18 +77,94 @@ class Batch:
         return np.frombuffer(b"".join(self.chunks), dtype=np.uint8)
 
 
-def scan_batch(params: SearchParams, batch: Batch):
-    """One device pass over the batch; yields (path, file_bytes, SearchResult)
-    per file in insertion order."""
-    from ..engine import resolve
-    from ..engine.search import SearchResult, _EMPTY_POS
+_file_counts_jit = None
+
+
+def _file_counts_dev(mask, starts_e, ends_e):
+    """Per-file flag counts from the device-resident mask: exclusive cumsum
+    over flag counts, differenced at (element-aligned) file boundaries.
+    mask: u32 packed flag words (SWAR) or u8 flags (XLA)."""
+    global _file_counts_jit
+    if _file_counts_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def f(mask, starts_e, ends_e):
+            if mask.dtype == jnp.uint32:
+                cm = (
+                    (mask.reshape(-1).astype(jnp.uint32) * jnp.uint32(0x01010101))
+                    >> jnp.uint32(24)
+                ).astype(jnp.int32)
+            else:
+                cm = mask.reshape(-1).astype(jnp.int32)
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cm)])
+            return cs[ends_e] - cs[starts_e]
+
+        _file_counts_jit = f
+    return _file_counts_jit(mask, starts_e, ends_e)
+
+
+class PendingBatch:
+    """A batch whose device work has been launched but not synced."""
+
+    def __init__(self, batch, data, kind, payload):
+        self.batch = batch
+        self.data = data
+        self.kind = kind        # "counts" | "mask"
+        self.payload = payload
+
+
+def _count_policy_ok(params: SearchParams) -> bool:
+    """Device-side count differencing is exact when the reported count is
+    the raw flag count (ALL advance policy; -m folds in via min)."""
     from ..engine.select import select_algorithm
+    from ..params import MatchPolicy
+
+    sel = select_algorithm(params)
+    return sel.policy(params.only_matching) is MatchPolicy.ALL
+
+
+def submit_batch(params: SearchParams, batch: Batch) -> PendingBatch:
+    """Launch the device pass for a batch without syncing — staging,
+    compute, and the tiny count readbacks all overlap the host's walk of
+    the next batch (the async replacement for the reference's per-file
+    launches, krep.c:3402-3430)."""
     from ..ops import dispatch
 
     data = batch.buffer()
     staged = dispatch.stage(data)
-    sel = select_algorithm(params)
-    policy = sel.policy(params.only_matching)
+
+    count_only = params.count_lines_mode or (
+        params.count_matches_mode and _count_policy_ok(params)
+    )
+    if count_only:
+        # device-side per-file counts: the mask never leaves the device.
+        # File offsets are 4-aligned (GAP padding) and separators cannot
+        # match or hold line-dedup events, so element-aligned boundary
+        # differencing is exact.
+        mask_kind = "first_line" if params.count_lines_mode else "starts"
+        _, _, mask = dispatch.scan_literal_staged(
+            staged,
+            pattern=params.pattern,
+            case_sensitive=params.case_sensitive,
+            whole_word=params.whole_word,
+            want_mask=True,
+            want_lines=params.count_lines_mode,
+            mask_kind=mask_kind,
+        )
+        import jax.numpy as jnp
+
+        unit = 4 if mask.dtype == jnp.uint32 else 1
+        starts_e = np.array(
+            [e.offset // unit for e in batch.entries], dtype=np.int32
+        )
+        ends_e = np.array(
+            [-(-(e.offset + e.size) // unit) for e in batch.entries],
+            dtype=np.int32,
+        )
+        counts = _file_counts_dev(mask, starts_e, ends_e)
+        return PendingBatch(batch, data, "counts", counts)
 
     _, _, mask = dispatch.scan_literal_staged(
         staged,
@@ -96,13 +172,35 @@ def scan_batch(params: SearchParams, batch: Batch):
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
         want_mask=True,
-        want_lines=False,  # per-file line accounting happens host-side
+        want_lines=False,
     )
-    mk = np.asarray(mask)
-    if mk.dtype != np.uint8:
-        mk = mk.view(np.uint8)
-    starts = np.flatnonzero(mk[: len(data)])
+    return PendingBatch(batch, data, "mask", (staged, mask))
 
+
+def drain_batch(params: SearchParams, pending: PendingBatch):
+    """Sync one submitted batch; yields (path, file_bytes, SearchResult)
+    per file in insertion order."""
+    from ..engine import resolve
+    from ..engine.search import SearchResult, _EMPTY_POS
+    from ..engine.select import select_algorithm
+    from ..ops import dispatch
+
+    batch, data = pending.batch, pending.data
+    mc = params.max_count
+
+    if pending.kind == "counts":
+        counts = np.asarray(pending.payload)
+        for e, c in zip(batch.entries, counts.tolist()):
+            c = min(c, mc) if mc is not None else c
+            fdata = data[e.offset : e.offset + e.size]
+            yield e.path, fdata, SearchResult(int(c), _EMPTY_POS, e.size)
+        return
+
+    staged, mask = pending.payload
+    starts = dispatch.starts_from_device_mask(mask, len(data))
+
+    sel = select_algorithm(params)
+    policy = sel.policy(params.only_matching)
     m = len(params.pattern)
     offsets = np.array([e.offset for e in batch.entries], dtype=np.int64)
     idx_lo = np.searchsorted(starts, offsets, side="left")
@@ -122,16 +220,21 @@ def scan_batch(params: SearchParams, batch: Batch):
                 lines = len(np.unique(np.searchsorted(nl, fstarts, side="left")))
             else:
                 lines = 0
-            mc = params.max_count
             yield e.path, fdata, SearchResult(
                 min(lines, mc) if mc is not None else lines, _EMPTY_POS, e.size
             )
             continue
         fstarts = resolve.apply_policy(fstarts, m, policy, e.size)
-        fstarts = resolve.truncate_max_count(fstarts, params.max_count)
+        fstarts = resolve.truncate_max_count(fstarts, mc)
         positions = np.stack([fstarts, fstarts + m], axis=1).astype(np.int64)
         count = len(fstarts)
         if params.count_matches_mode:
             yield e.path, fdata, SearchResult(count, _EMPTY_POS, e.size)
         else:
             yield e.path, fdata, SearchResult(count, positions, e.size)
+
+
+def scan_batch(params: SearchParams, batch: Batch):
+    """One device pass over the batch; yields (path, file_bytes,
+    SearchResult) per file in insertion order. (submit + drain, unpipelined.)"""
+    yield from drain_batch(params, submit_batch(params, batch))

@@ -201,15 +201,34 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
         else:
             printer.print_matching_lines(out, data, result.positions, path, color)
 
-    pending = batch_mod.Batch()
+    # Pipelined batches: a filled batch is SUBMITTED (staging + device
+    # compute launch asynchronously) and drained WINDOW batches later, so
+    # walking/reading the next files overlaps the device work — the async
+    # replacement for the reference's serial per-file launches
+    # (krep.c:3402-3430). Emission order stays walk order: batches drain
+    # FIFO, and solo files force a full drain first.
+    WINDOW = 2
+    building = batch_mod.Batch()
+    in_flight: list = []
 
-    def flush_batch():
-        nonlocal pending
-        if not pending.entries:
-            return
-        for path, fdata, result in batch_mod.scan_batch(params, pending):
+    def drain_one():
+        p = in_flight.pop(0)
+        for path, fdata, result in batch_mod.drain_batch(params, p):
             emit(path, fdata, result)
-        pending = batch_mod.Batch()
+
+    def submit_building():
+        nonlocal building
+        if not building.entries:
+            return
+        in_flight.append(batch_mod.submit_batch(params, building))
+        building = batch_mod.Batch()
+        if len(in_flight) > WINDOW:
+            drain_one()
+
+    def drain_all():
+        submit_building()
+        while in_flight:
+            drain_one()
 
     for path, size in _walk(base_dir, use_gi, None, err_acc):
         if batch_mod.eligible(params, size):
@@ -220,11 +239,11 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
                 sys.stderr.write(f"krep: {path}: {e}\n")
                 err_acc[0] += 1
                 continue
-            pending.add(path, data)
-            if pending.full:
-                flush_batch()
+            building.add(path, data)
+            if building.full:
+                submit_building()
             continue
-        flush_batch()  # preserve walk-order output around solo files
+        drain_all()  # preserve walk-order output around solo files
         try:
             data = files.read_bytes(path)
         except OSError as e:
@@ -240,7 +259,7 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             err_acc[0] += 1
             continue
         emit(path, data, result)
-    flush_batch()
+    drain_all()
     out.flush()
     any_match = state["any_match"]
     if err_acc[0]:

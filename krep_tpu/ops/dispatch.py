@@ -155,11 +155,12 @@ def backend_name() -> str:
 
 def scan_literal_staged(
     staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
-    want_lines: bool = True,
+    want_lines: bool = True, mask_kind: str = "starts",
 ):
     """Fused literal scan via the selected backend (KREP_TPU_BACKEND =
     auto | swar | pallas | xla). Returns (match_count, matched_line_count,
-    mask) where mask's little-endian bytes are the per-byte 0/1 mask.
+    mask) where mask's little-endian bytes are the per-byte 0/1 mask
+    (match starts, or -c dedup events for mask_kind="first_line").
     matched_line_count is only meaningful when want_lines=True."""
     from ..utils import profiling
 
@@ -171,12 +172,13 @@ def scan_literal_staged(
             whole_word=whole_word,
             want_mask=want_mask,
             want_lines=want_lines,
+            mask_kind=mask_kind,
         )
 
 
 def _scan_literal_staged(
     staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
-    want_lines: bool = True,
+    want_lines: bool = True, mask_kind: str = "starts",
 ):
     be = backend_name()
     if be == "swar":
@@ -191,10 +193,11 @@ def _scan_literal_staged(
                 whole_word=whole_word,
                 want_mask=want_mask,
                 want_lines=want_lines,
+                mask_kind=mask_kind,
             )
         except (ImportError, NotImplementedError):
             be = "pallas"
-    if be == "pallas":
+    if be == "pallas" and mask_kind == "starts":
         try:
             from . import pallas_scan
 
@@ -215,6 +218,7 @@ def _scan_literal_staged(
         case_sensitive=case_sensitive,
         whole_word=whole_word,
         want_mask=want_mask,
+        mask_kind=mask_kind,
     )
 
 

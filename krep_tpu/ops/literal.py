@@ -94,16 +94,11 @@ def all_starts_mask(
     return acc
 
 
-def matched_line_count(mask: jax.Array, text: jax.Array) -> jax.Array:
-    """Number of distinct lines containing ≥1 match start.
-
-    Reference semantics: every kernel's `-c` path dedups on
-    find_line_start(match_start) (e.g. krep.c:1331-1351). A line is the
-    maximal run between '\\n' bytes; the match is attributed to the line its
-    START falls in. Computed as a data-parallel "first match in line"
-    reduction: a match at i is first-in-line iff no earlier match sits at or
-    after the current line's start.
-    """
+def first_in_line_mask(mask: jax.Array, text: jax.Array) -> jax.Array:
+    """Bool mask of matches that are the FIRST match in their line — the
+    "-c" dedup event (find_line_start dedup, krep.c:1331-1351): a match at
+    i is first-in-line iff no earlier match sits at or after the current
+    line's start."""
     # int32 offsets: single-array texts are capped below 2 GiB; larger inputs
     # go through the sharded path in krep_tpu/parallel/.
     n = text.shape[0]
@@ -123,8 +118,13 @@ def matched_line_count(mask: jax.Array, text: jax.Array) -> jax.Array:
         [jnp.zeros((1,), it), jax.lax.cummax(m_mark)[:-1]]
     )
 
-    first_in_line = mask & (last_match_before <= line_start)
-    return jnp.sum(first_in_line.astype(jnp.int32))
+    return mask & (last_match_before <= line_start)
+
+
+def matched_line_count(mask: jax.Array, text: jax.Array) -> jax.Array:
+    """Number of distinct lines containing ≥1 match start (see
+    first_in_line_mask)."""
+    return jnp.sum(first_in_line_mask(mask, text).astype(jnp.int32))
 
 
 def shard_line_stats(mask: jax.Array, text: jax.Array):
@@ -173,7 +173,7 @@ def pack_mask(mask: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask"),
+    static_argnames=("pattern", "case_sensitive", "whole_word", "want_mask", "mask_kind"),
 )
 def scan_literal(
     text: jax.Array,
@@ -183,11 +183,14 @@ def scan_literal(
     case_sensitive: bool = True,
     whole_word: bool = False,
     want_mask: bool = True,
+    mask_kind: str = "starts",
 ):
     """One fused scan: returns (match_count, matched_line_count, mask_u8).
 
-    mask_u8 is one byte per text position (1 = match starts here); a (128,)
-    zero placeholder when want_mask=False.
+    mask_u8 is one byte per text position; a (128,) zero placeholder when
+    want_mask=False. mask_kind: "starts" flags every match start;
+    "first_line" flags only first-in-line matches (the -c dedup events) —
+    used by batched per-file line counting.
     """
     mask = all_starts_mask(
         text,
@@ -197,9 +200,10 @@ def scan_literal(
         true_len=true_len,
     )
     count = jnp.sum(mask.astype(jnp.int32))
-    lines = matched_line_count(mask, text)
+    fil = first_in_line_mask(mask, text)
+    lines = jnp.sum(fil.astype(jnp.int32))
     if want_mask:
-        out_mask = mask.astype(jnp.uint8)
+        out_mask = (fil if mask_kind == "first_line" else mask).astype(jnp.uint8)
     else:
         out_mask = jnp.zeros((128,), dtype=jnp.uint8)
     return count, lines, out_mask

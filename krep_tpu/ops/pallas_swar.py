@@ -147,19 +147,23 @@ def _seg_scan_rows(A, B, row_idx, nrows):
     return A, B
 
 
-def _row_prefix_scan(A, B, nrows):
-    """EXCLUSIVE scan of the (nrows, 1) row-composition column, plus the
-    total composition. Returns (Aex, Bex, a_tot, b_tot) with Aex/Bex shaped
-    (nrows, 1) and the totals as scalars.
+def _row_entry_state(RA, RB, carry, nrows):
+    """Per-row line-state at row entry, plus the tile's total composition.
 
-    A (nrows, 1) int32 array occupies nrows/8 VREGs at 1/128 lane
-    utilization, so the naive log-scan costs ~nrows/8 VREG-ops per step —
-    comparable to the whole-tile lane scan it follows. Reshaping the column
-    to (nrows/128, 128) packs it into ~nrows/1024 VREGs; the identical scan
-    then runs at full lane utilization (~100x fewer VREG-ops)."""
+    RA/RB: (nrows, 1) per-row (A, B) compositions; carry: tile-entry state.
+    Returns (row_state, a_tot, b_tot) where row_state broadcasts against
+    (nrows, LANES) arrays.
+
+    A (nrows, 1) int32 column occupies nrows/8 VREGs at 1/128 lane
+    utilization, so a naive log-scan over it costs about as much as the
+    whole-tile lane scan it follows. Instead the column is reshaped to
+    (nrows/128, 128) — full lane utilization, ~128x fewer VREG-ops — and
+    scanned there. Mosaic supports the (n,1)->(n/128,128) cast and the
+    broadcast-merge back to (nrows, LANES), but NOT (n/128,128)->(n,1),
+    so the packed result is returned pre-broadcast."""
     if nrows % 128 != 0 or nrows < 256:
         ridx = _iota2((nrows, 1), 0)
-        Ai, Bi = _seg_scan_rows(A, B, ridx, nrows)
+        Ai, Bi = _seg_scan_rows(RA, RB, ridx, nrows)
         Aex = _roll(Ai, 1, axis=0)
         Bex = _roll(Bi, 1, axis=0)
         first = ridx == 0
@@ -168,12 +172,12 @@ def _row_prefix_scan(A, B, nrows):
         last = ridx == nrows - 1
         a_tot = jnp.max(jnp.where(last, Ai, 0))
         b_tot = jnp.max(jnp.where(last, Bi, 0))
-        return Aex, Bex, a_tot, b_tot
+        return (carry & Aex) | Bex, a_tot, b_tot
 
     r8 = nrows // 128
     shape = (r8, 128)
-    A2 = A.reshape(shape)
-    B2 = B.reshape(shape)
+    A2 = RA.reshape(shape)
+    B2 = RB.reshape(shape)
     li = _iota2(shape, 1)
     Ai, Bi = _seg_scan_lane(A2, B2, li)          # inclusive within each row
     ri = _iota2((r8, 1), 0)
@@ -192,15 +196,20 @@ def _row_prefix_scan(A, B, nrows):
     LB = jnp.where(first_l, 0, LB)
     Aex = PA & LA
     Bex = (PB & LA) | LB
+    state2 = (carry & Aex) | Bex                 # (r8, 128), packed rows
+    state_full = jnp.broadcast_to(
+        state2[:, :, None], (r8, 128, LANES)
+    ).reshape(nrows, LANES)
     last_r = ri == r8 - 1
     a_tot = jnp.max(jnp.where(last_r, SA, 0))
     b_tot = jnp.max(jnp.where(last_r, SB, 0))
-    return Aex.reshape(nrows, 1), Bex.reshape(nrows, 1), a_tot, b_tot
+    return state_full, a_tot, b_tot
 
 
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
-                 tile_r: int, want_stats: bool = False):
+                 tile_r: int, want_stats: bool = False,
+                 mask_kind: str = "starts"):
     """K patterns fused in one pass over the text: per-pattern packed match
     words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
     counts, test_multiple_patterns.c:345-471), union mask for line
@@ -409,13 +418,12 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             first_lane = lane_idx == 0
             LEA = jnp.where(first_lane, 1, LEA)
             LEB = jnp.where(first_lane, 0, LEB)
-            # row-level composition: packed-layout scan (see _row_prefix_scan)
+            # row-level composition: packed-layout scan (see _row_entry_state)
             RA = Ai[:, LANES - 1 :].astype(jnp.int32)
             RB = Bi[:, LANES - 1 :].astype(jnp.int32)
-            RPA, RPB, a_tot, b_tot = _row_prefix_scan(RA, RB, tile_r)
-
             carry = scratch[2]
-            row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
+            row_state, a_tot, b_tot = _row_entry_state(RA, RB, carry, tile_r)
+            row_state = row_state.astype(_SCAN_DTYPE)
             sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
             sbw = ((sb0 * one) & EAw) | EBw
             fw = mword & (sbw ^ one)
@@ -443,7 +451,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 ).astype(jnp.int32)
 
             if want_mask:
-                out_w = mword
+                out_w = fw if mask_kind == "first_line" else mword
             else:
                 out_w = jnp.zeros((1, 1), jnp.uint32)
             return dcount, dfirst, new_carry, new_wc3, lead_tile, out_w
@@ -526,6 +534,7 @@ def scan_literal(
     want_mask: bool = True,
     want_lines: bool = True,
     interpret: bool = False,
+    mask_kind: str = "starts",
 ):
     """Single-pattern SWAR scan — see scan_multi."""
     return scan_multi(
@@ -537,6 +546,7 @@ def scan_literal(
         want_mask=want_mask,
         want_lines=want_lines,
         interpret=interpret,
+        mask_kind=mask_kind,
     )
 
 
@@ -546,7 +556,10 @@ NO_LIMIT = 0x7FFFFFF0  # start_limit sentinel: no owned-region restriction
 def _scan_raw(
     text32, true_len, prev_word, *, patterns, case_sensitive, whole_word,
     want_mask, want_lines, want_stats, interpret, start_limit=None,
+    mask_kind="starts",
 ):
+    if mask_kind == "first_line":
+        assert want_lines, "first_line mask needs the line-accounting path"
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
@@ -571,7 +584,7 @@ def _scan_raw(
     )
     kernel = _make_kernel(
         tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
-        tile_r, want_stats,
+        tile_r, want_stats, mask_kind,
     )
 
     out_shape = [jax.ShapeDtypeStruct((8,), jnp.int32)]
@@ -613,7 +626,7 @@ def _scan_raw(
     jax.jit,
     static_argnames=(
         "patterns", "case_sensitive", "whole_word", "want_mask", "want_lines",
-        "interpret",
+        "interpret", "mask_kind",
     ),
 )
 def scan_multi(
@@ -626,18 +639,20 @@ def scan_multi(
     want_mask: bool = True,
     want_lines: bool = True,
     interpret: bool = False,
+    mask_kind: str = "starts",
 ):
     """SWAR fused K-pattern scan over the uint32 staged view
     (dispatch.StagedText.u32): shape (R4 + H4, 128) uint32.
 
     Returns (total_match_count i32, matched_line_count i32 over the UNION
     of matches, union mask view (R4*128,) uint32 whose little-endian bytes
-    are the per-byte "≥1 pattern starts here" 0/1 mask)."""
+    are the per-byte 0/1 mask — "≥1 pattern starts here" for
+    mask_kind="starts", or the -c dedup events for "first_line")."""
     counts, mask = _scan_raw(
         text32, true_len, jnp.int32(0),
         patterns=tuple(patterns), case_sensitive=case_sensitive,
         whole_word=whole_word, want_mask=want_mask, want_lines=want_lines,
-        want_stats=False, interpret=interpret,
+        want_stats=False, interpret=interpret, mask_kind=mask_kind,
     )
     return counts[0], counts[1], mask
 
