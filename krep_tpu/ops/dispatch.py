@@ -96,8 +96,12 @@ class StagedText:
                 "sharded paths"
             )
         b = bucket_size(n)
-        padded = np.zeros(b, dtype=np.uint8)
+        # empty + tail-zero: half the host memory traffic of zeros+copy
+        # (staging is the cold-scan bound; krep's analogue is mmap page-in,
+        # krep.c:2674-2723)
+        padded = np.empty(b, dtype=np.uint8)
         padded[:n] = buf
+        padded[n:] = 0
         self._np = padded
         self.n = n
         self.true_len = jnp.int32(n)

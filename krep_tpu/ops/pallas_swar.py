@@ -147,69 +147,18 @@ def _seg_scan_rows(A, B, row_idx, nrows):
     return A, B
 
 
-def _row_entry_state(RA, RB, carry, nrows):
-    """Per-row line-state at row entry, plus the tile's total composition.
-
-    RA/RB: (nrows, 1) per-row (A, B) compositions; carry: tile-entry state.
-    Returns (row_state, a_tot, b_tot) where row_state broadcasts against
-    (nrows, LANES) arrays.
-
-    A (nrows, 1) int32 column occupies nrows/8 VREGs at 1/128 lane
-    utilization, so a naive log-scan over it costs about as much as the
-    whole-tile lane scan it follows. Instead the column is reshaped to
-    (nrows/128, 128) — full lane utilization, ~128x fewer VREG-ops — and
-    scanned there. Mosaic supports the (n,1)->(n/128,128) cast and the
-    broadcast-merge back to (nrows, LANES), but NOT (n/128,128)->(n,1),
-    so the packed result is returned pre-broadcast."""
-    if nrows % 128 != 0 or nrows < 256:
-        ridx = _iota2((nrows, 1), 0)
-        Ai, Bi = _seg_scan_rows(RA, RB, ridx, nrows)
-        Aex = _roll(Ai, 1, axis=0)
-        Bex = _roll(Bi, 1, axis=0)
-        first = ridx == 0
-        Aex = jnp.where(first, 1, Aex)
-        Bex = jnp.where(first, 0, Bex)
-        last = ridx == nrows - 1
-        a_tot = jnp.max(jnp.where(last, Ai, 0))
-        b_tot = jnp.max(jnp.where(last, Bi, 0))
-        return (carry & Aex) | Bex, a_tot, b_tot
-
-    r8 = nrows // 128
-    shape = (r8, 128)
-    A2 = RA.reshape(shape)
-    B2 = RB.reshape(shape)
-    li = _iota2(shape, 1)
-    Ai, Bi = _seg_scan_lane(A2, B2, li)          # inclusive within each row
-    ri = _iota2((r8, 1), 0)
-    SA, SB = _seg_scan_rows(Ai[:, 127:], Bi[:, 127:], ri, r8)  # row totals, inclusive
-    # exclusive row prefix (composition of all earlier packed rows)
-    PA = _roll(SA, 1, axis=0)
-    PB = _roll(SB, 1, axis=0)
-    first_r = ri == 0
-    PA = jnp.where(first_r, 1, PA)
-    PB = jnp.where(first_r, 0, PB)
-    # exclusive within-row scan: shift the inclusive by one lane
-    LA = _roll(Ai, 1, axis=1)
-    LB = _roll(Bi, 1, axis=1)
-    first_l = li == 0
-    LA = jnp.where(first_l, 1, LA)
-    LB = jnp.where(first_l, 0, LB)
-    Aex = PA & LA
-    Bex = (PB & LA) | LB
-    state2 = (carry & Aex) | Bex                 # (r8, 128), packed rows
-    state_full = jnp.broadcast_to(
-        state2[:, :, None], (r8, 128, LANES)
-    ).reshape(nrows, LANES)
-    last_r = ri == r8 - 1
-    a_tot = jnp.max(jnp.where(last_r, SA, 0))
-    b_tot = jnp.max(jnp.where(last_r, SB, 0))
-    return state_full, a_tot, b_tot
+# NOTE on the (nrows, 1) row-composition scan: a packed-layout variant
+# (reshape the column to (nrows/128, 128), scan at full lane utilization,
+# broadcast-merge back) was implemented and benchmarked at 1 GiB on v5e:
+# 66.6 GB/s vs 71.6 GB/s for the plain column scan — the Mosaic relayout
+# casts cost more than the narrow-layout scan they avoid. Kept as measured
+# and rejected; see BENCH_NOTES.md.
 
 
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
                  tile_r: int, want_stats: bool = False,
-                 mask_kind: str = "starts"):
+                 mask_kind: str = "starts", has_limit: bool = False):
     """K patterns fused in one pass over the text: per-pattern packed match
     words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
     counts, test_multiple_patterns.c:345-471), union mask for line
@@ -254,7 +203,8 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         # (the next shard owns it; cross-shard merge dedups via lead/trail).
         # Callers guarantee start_limit is element-aligned or == true_len
         # (beyond-true_len padding is zero), so element masking is exact.
-        start_limit = tl_ref[2]
+        # has_limit is trace-static: plain scans pay zero extra ops.
+        start_limit = tl_ref[2] if has_limit else None
 
         # element shifts E_t (flat left shift by t uint32 elements), cached
         # and capped (patterns are ≤64 bytes ⇒ ≤17 distinct shifts; the cap
@@ -279,13 +229,36 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
         e0 = E(0)
 
-        # cheap candidate filter: first-word compare per (pattern, phase)
-        def first_word_mask(k, p):
-            t, mk, vl = phase_tab[k][p][0]
+        # cheap candidate filter: first-word compare per (pattern, phase).
+        # Compare results are cached by constant — patterns sharing a
+        # (possibly masked) word pay once (common in -f word sets). Only
+        # constants that actually recur are cached, so single-use compares
+        # don't have their live ranges pinned (VMEM pressure at large K).
+        from collections import Counter
+
+        const_uses = Counter()
+        for tab in phase_tab:
+            for ph in tab:
+                for w_i, ent in enumerate(ph):
+                    # first words are consumed twice: candidate OR + verify
+                    const_uses[ent] += 2 if w_i == 0 else 1
+        fwcache = {}
+
+        def word_cmp(t, mk, vl):
+            key = (t, mk, vl)
+            if key in fwcache:
+                return fwcache[key]
             w = E(t)
             if mk == 0xFFFFFFFF:
-                return w == _U(vl)
-            return (w & _U(mk)) == _U(vl)
+                out = w == _U(vl)
+            else:
+                out = (w & _U(mk)) == _U(vl)
+            if const_uses[key] > 1:
+                fwcache[key] = out
+            return out
+
+        def first_word_mask(k, p):
+            return word_cmp(*phase_tab[k][p][0])
 
         cand = None
         for k in range(len(pats)):
@@ -296,10 +269,11 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
         true_len = tl_ref[0]
         nl_flags = swar_has_byte(e0, 0x0A)
-        # newline accounting is owned-region only (element masking is exact
-        # per the start_limit contract above; padding beyond true_len is
-        # zeros → no '\n' there)
-        nl_flags = jnp.where(gbase < start_limit, nl_flags, _U(0))
+        if has_limit:
+            # newline accounting is owned-region only (element masking is
+            # exact per the start_limit contract above; padding beyond
+            # true_len is zeros → no '\n' there)
+            nl_flags = jnp.where(gbase < start_limit, nl_flags, _U(0))
         any_nl = jnp.any(nl_flags != _U(0))
 
         def full_path(_):
@@ -346,25 +320,50 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                     ew_cache[t] = v
                     return v
 
+            # start must be in the owned region AND leave room for the whole
+            # pattern before true_len; the compare array is shared across
+            # patterns of equal length (a big saving for large -f sets)
+            limcache = {}
+
+            def limit_mask(p, m_k):
+                key = (p, m_k)
+                if key not in limcache:
+                    bound = true_len - m_k + 1
+                    if has_limit:
+                        bound = jnp.minimum(bound, start_limit)
+                    limcache[key] = gbase + p < bound
+                return limcache[key]
+
+            def verified_acc(kk, p):
+                acc = first_word_mask(kk, p)
+                for (t, mk, vl) in phase_tab[kk][p][1:]:
+                    acc = acc & word_cmp(t, mk, vl)
+                return acc & limit_mask(p, lens[kk])
+
+            count_only = (
+                not want_mask and not want_lines and not whole_word
+                and not want_stats
+            )
+            if count_only:
+                # total match count without per-pattern packing/popcounts:
+                # accumulate phase hits as plain int adds
+                accsum = jnp.zeros(shape, jnp.int32)
+                for kk in range(len(pats)):
+                    for p in range(4):
+                        accsum = accsum + verified_acc(kk, p).astype(jnp.int32)
+                dcount = jnp.sum(accsum)
+                return (
+                    dcount, jnp.int32(0), scratch[2], jnp.int32(0),
+                    jnp.int32(0), jnp.zeros((1, 1), jnp.uint32),
+                )
+
             mword = jnp.zeros(shape, jnp.uint32)  # union across patterns
             dcount = jnp.int32(0)
             for kk in range(len(pats)):
                 m_k = lens[kk]
                 mw_k = jnp.zeros(shape, jnp.uint32)
                 for p in range(4):
-                    acc = first_word_mask(kk, p)
-                    for (t, mk, vl) in phase_tab[kk][p][1:]:
-                        w = E(t)
-                        if mk == 0xFFFFFFFF:
-                            acc = acc & (w == _U(vl))
-                        else:
-                            acc = acc & ((w & _U(mk)) == _U(vl))
-                    # start must be in the owned region AND leave room for
-                    # the whole pattern before true_len
-                    acc = acc & (
-                        gbase + p
-                        < jnp.minimum(true_len - m_k + 1, start_limit)
-                    )
+                    acc = verified_acc(kk, p)
                     mw_k = mw_k | (acc.astype(jnp.uint32) << _U(8 * p))
                 if whole_word:
                     qa, ra = divmod(m_k, 4)
@@ -422,8 +421,17 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             RA = Ai[:, LANES - 1 :].astype(jnp.int32)
             RB = Bi[:, LANES - 1 :].astype(jnp.int32)
             carry = scratch[2]
-            row_state, a_tot, b_tot = _row_entry_state(RA, RB, carry, tile_r)
-            row_state = row_state.astype(_SCAN_DTYPE)
+            ridx = _iota2((tile_r, 1), 0)
+            RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
+            RPA = _roll(RAi, 1, axis=0)
+            RPB = _roll(RBi, 1, axis=0)
+            first_row = ridx == 0
+            RPA = jnp.where(first_row, 1, RPA)
+            RPB = jnp.where(first_row, 0, RPB)
+            row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
+            last_row = ridx == tile_r - 1
+            a_tot = jnp.max(jnp.where(last_row, RAi, 0))
+            b_tot = jnp.max(jnp.where(last_row, RBi, 0))
             sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
             sbw = ((sb0 * one) & EAw) | EBw
             fw = mword & (sbw ^ one)
@@ -573,6 +581,7 @@ def _scan_raw(
     if not patterns or any(len(p) == 0 or len(p) > 64 for p in patterns):
         raise NotImplementedError("pattern length outside kernel support")
 
+    has_limit = start_limit is not None
     if start_limit is None:
         start_limit = jnp.int32(NO_LIMIT)
     tl = jnp.stack(
@@ -584,7 +593,7 @@ def _scan_raw(
     )
     kernel = _make_kernel(
         tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
-        tile_r, want_stats, mask_kind,
+        tile_r, want_stats, mask_kind, has_limit,
     )
 
     out_shape = [jax.ShapeDtypeStruct((8,), jnp.int32)]

@@ -150,3 +150,48 @@ def test_word_boundary_across_tiles():
     c, l, starts = run_swar(text, b"word", whole_word=True)
     want = naive.all_starts(text, b"word", whole_word=True)
     assert starts == want
+
+
+def test_count_only_path_matches_mask_path():
+    """The packing-free count-only path (want_mask=False, want_lines=False)
+    must agree with the mask path's popcount for K patterns."""
+    import jax.numpy as jnp
+
+    text = naive.gen_corpus(31, 200_000)
+    st = dispatch.stage(text)
+    pats = (b"the", b"quick", b"e", b"ab")
+    c_mask, _, mask = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats,
+        want_mask=True, want_lines=False, interpret=True,
+    )
+    c_only, _, _ = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats,
+        want_mask=False, want_lines=False, interpret=True,
+    )
+    want = sum(len(naive.all_starts(text, p)) for p in pats)
+    assert int(c_only) == want
+    assert int(c_mask) == want
+
+
+def test_mask_kind_first_line():
+    """mask_kind='first_line' flags exactly the -c dedup events."""
+    text = b"the cat the dog\nno match\nthe end\n" * 500
+    st = dispatch.stage(text)
+    _, lines, mask = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=(b"the",),
+        want_mask=True, want_lines=True, mask_kind="first_line",
+        interpret=True,
+    )
+    mk = np.asarray(mask).view(np.uint8)[: len(text)]
+    flagged = np.flatnonzero(mk)
+    starts = naive.all_starts(text, b"the")
+    # one flag per matched line, at that line's first match
+    nl = np.flatnonzero(np.frombuffer(text, np.uint8) == 10)
+    import collections
+
+    first_by_line = {}
+    for s in starts:
+        li = int(np.searchsorted(nl, s, side="left"))
+        first_by_line.setdefault(li, s)
+    assert flagged.tolist() == sorted(first_by_line.values())
+    assert int(lines) == len(first_by_line)
