@@ -168,6 +168,28 @@ def config3(staged, n):
 
     emit("16-literal multi-pattern fused scan (config 3)", chained_gbps(run_one, n))
 
+    # 64 literals, single fused pass (FUSED_MAX) — the large -f regime
+    pats64 = []
+    i = 0
+    while len(pats64) < 64:
+        w = PATTERNS_16[i % 16]
+        r = i // 16
+        p = (w[:5] + str(r).encode() if r else w)[:8]
+        if p not in pats64:
+            pats64.append(p)
+        i += 1
+    pats64 = tuple(pats64)
+
+    def run64(j):
+        c, _, _ = pallas_swar.scan_multi(
+            staged.u32, jnp.int32(n - j), patterns=pats64,
+            case_sensitive=True, whole_word=False,
+            want_mask=False, want_lines=False,
+        )
+        return c
+
+    emit("64-literal multi-pattern fused scan (config 3b)", chained_gbps(run64, n))
+
 
 def config4(staged, n, data_path):
     """POSIX ERE via the TPU literal-factor prefilter: the device scans for

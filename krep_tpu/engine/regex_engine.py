@@ -394,7 +394,12 @@ def _search_regex_parallel(params: SearchParams, data: bytes):
     return SearchResult(total, pos_arr, n)
 
 
-def _search_regex_seq(params: SearchParams, data: bytes) -> "SearchResult":
+def _search_regex_seq(
+    params: SearchParams, data: bytes, force_python: bool = False
+) -> "SearchResult":
+    """force_python skips the native C loop — used by tests to pin the
+    no-toolchain ctypes fallback against it (the two implement the same
+    krep.c:1389-1579 contract and must never diverge)."""
     from .search import SearchResult, _EMPTY_POS
 
     n = len(data)
@@ -404,6 +409,8 @@ def _search_regex_seq(params: SearchParams, data: bytes) -> "SearchResult":
     try:
         from ..native import runtime as _native
     except Exception:
+        _native = None
+    if force_python:
         _native = None
     if _native is not None:
         cflags = REG_EXTENDED | REG_NEWLINE | (

@@ -28,7 +28,11 @@ import numpy as np
 from ..params import SearchParams
 from . import dispatch, literal
 
-FUSED_MAX = 32
+# One fused pass handles up to this many patterns. Measured on v5e at 1 GiB
+# (english corpus, count mode): K=16 31.5 GB/s, K=32 17.2, K=64 single-pass
+# 7.7 vs 7.0 for grouped 2x32 — single-pass wins through K=64 (shared
+# E-shift/compare caches beat a second text pass).
+FUSED_MAX = 64
 
 
 @functools.partial(

@@ -40,7 +40,7 @@ def test_dense_ac_build_matches_naive():
     assert total == 3  # classic ushers result
 
 
-@pytest.mark.parametrize("k", [40, 64])
+@pytest.mark.parametrize("k", [40, 64, 80])
 def test_dfa_counts_vs_naive(k):
     pats = make_patterns(k)
     text = naive.gen_english(13, 20_000)
