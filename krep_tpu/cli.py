@@ -261,7 +261,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
                     f"{target}: Error: Empty pattern provided for literal "
                     "search with multiple patterns."
                 )
-            result = search_string(params, bytes(data) if not hasattr(data, "shape") else data)
+            result = search_string(params, bytes(data) if not hasattr(data, "shape") else data, threads)
             if len(data) == 0 and not use_regex and len(patterns) == 1 and len(patterns[0]) == 0:
                 # empty pattern matches an empty FILE once (krep.c:2419-2513);
                 # string/stdin search has no such special case (observed)
@@ -277,7 +277,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 _emit(out, result, data, target, params, color)
         else:
             data = sys.stdin.buffer.read()
-            result = search_string(params, data)
+            result = search_string(params, data, threads)
             _emit(out, result, data, None, params, color)
     except NotImplementedError as e:
         return _err(str(e))

@@ -253,7 +253,22 @@ def _search_single_literal_slabbed(
     return SearchResult(len(starts), positions, n)
 
 
-def _search_single_literal_sharded(params: SearchParams, text, policy) -> SearchResult:
+def _mesh_for_threads(threads: int | None):
+    """Map the reference's -t thread count onto the device mesh: auto (None)
+    uses every device (the reference's online-cores default,
+    krep.c:2729-2762); an explicit -t caps the shard count the same way the
+    reference caps its chunk threads."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    d = len(devs) if threads is None else max(1, min(threads, len(devs)))
+    return Mesh(np.array(devs[:d]), ("data",))
+
+
+def _search_single_literal_sharded(
+    params: SearchParams, text, policy, threads: int | None = None
+) -> SearchResult:
     from ..parallel import mesh
 
     m = len(params.pattern)
@@ -275,6 +290,7 @@ def _search_single_literal_sharded(params: SearchParams, text, policy) -> Search
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
         want_mask=want_mask,
+        mesh=_mesh_for_threads(threads),
     )
     if params.count_lines_mode:
         c = min(lines, max_count) if max_count is not None else lines
@@ -389,7 +405,10 @@ def _finish_longpat(
     return SearchResult(len(starts), positions, n)
 
 
-def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+def _search_single_literal(
+    params: SearchParams, text: bytes, sel: Selection,
+    threads: int | None = None,
+) -> SearchResult:
     from ..ops import dispatch
 
     m = len(params.pattern)
@@ -414,10 +433,11 @@ def _search_single_literal(params: SearchParams, text: bytes, sel: Selection) ->
 
     import jax
 
-    if jax.device_count() > 1 and n >= (1 << 16):
+    if jax.device_count() > 1 and n >= (1 << 16) and threads != 1:
         # multi-chip: shard bytes across the mesh (the reference's thread
-        # pool analogue, krep.c:2851-2905)
-        return _search_single_literal_sharded(params, text, policy)
+        # pool analogue, krep.c:2851-2905); -t 1 forces the single-device
+        # path like the reference's inline single-chunk run (krep.c:2764)
+        return _search_single_literal_sharded(params, text, policy, threads)
     if n > SLAB_BYTES and dispatch.backend_name() == "swar":
         return _search_single_literal_slabbed(params, text, policy)
     if (
@@ -470,9 +490,12 @@ def _search_regex(params: SearchParams, text: bytes, sel: Selection) -> SearchRe
     return regex_engine.search_regex(params, text)
 
 
-def search_string(params: SearchParams, text: bytes) -> SearchResult:
+def search_string(
+    params: SearchParams, text: bytes, threads: int | None = None
+) -> SearchResult:
     """Mirror of search_string (krep.c:1999-2246): single-shot search of an
-    in-memory byte string."""
+    in-memory byte string. `threads` maps -t onto the device mesh (None =
+    all devices, like the reference's online-cores default)."""
     if isinstance(text, str):
         text = text.encode()
 
@@ -481,16 +504,16 @@ def search_string(params: SearchParams, text: bytes) -> SearchResult:
         return _search_regex(params, text, sel)
     if sel.algorithm is Algorithm.AHO_CORASICK:
         return _search_multi_literal(params, text, sel)
-    return _search_single_literal(params, text, sel)
+    return _search_single_literal(params, text, sel, threads)
 
 
 def search_file(params: SearchParams, path: str, threads: int | None = None) -> SearchResult:
-    """Mirror of search_file (krep.c:2274-3066). `threads` is accepted for
-    CLI compatibility (-t); device sharding replaces the thread pool."""
+    """Mirror of search_file (krep.c:2274-3066). -t shapes the device mesh
+    the way it shaped the reference's chunk-thread count."""
     if path == "-":
         data = sys.stdin.buffer.read()
-        return search_string(params, data)
+        return search_string(params, data, threads)
     from ..io import files
 
     data = files.read_bytes(path)
-    return search_string(params, data)
+    return search_string(params, data, threads)

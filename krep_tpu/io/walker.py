@@ -251,7 +251,7 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             err_acc[0] += 1
             continue
         try:
-            result = search_string(params, data)
+            result = search_string(params, data, threads)
         except NotImplementedError:
             raise
         except Exception as e:  # match reference: per-file errors don't abort -r

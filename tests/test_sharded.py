@@ -199,3 +199,30 @@ def test_boundary_spanning_lines():
     want = naive.all_starts(bytes(text2), b"ab")
     assert mc2 == len(want)
     assert lc2 == naive.matched_lines(bytes(text2), want)
+
+
+def test_threads_flag_shapes_mesh():
+    """-t maps onto the device mesh like the reference's chunk-thread count:
+    -t 1 forces the single-device path; -t N caps shards at N; all settings
+    agree with naive semantics (the threads=1 vs threads=8 determinism test,
+    test_krep.c:1071-1106)."""
+    from krep_tpu import SearchParams
+    from krep_tpu.engine import search as sm
+
+    _need_devices(8)
+
+    text = naive.gen_english(21, 120_000)
+    want = naive.all_starts(text, b"the")
+    lines = naive.matched_lines(text, want)
+    results = []
+    for t in [None, 1, 2, 8, 99]:
+        p = SearchParams(patterns=(b"the",), count_mode=True)
+        r = sm.search_string(p, text, threads=t)
+        results.append(r.count)
+    assert all(c == lines for c in results), results
+
+    # positions identical across thread settings
+    p2 = SearchParams(patterns=(b"the",), algo_override="bm")
+    pos = [sm.search_string(p2, text, threads=t).positions[:, 0].tolist()
+           for t in [1, 3, 8]]
+    assert pos[0] == pos[1] == pos[2] == want
