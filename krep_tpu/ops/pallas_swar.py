@@ -15,8 +15,10 @@ everything word-parallel:
   * newline/word-char tests extract the 4 phase bytes of E_0 only.
   * the matched-line segmented OR-scan (krep.c:1331-1351 "-c" dedup)
     runs on 4-byte block compositions: per element (A = no '\\n' in the
-    block, B = line-has-match at block end), then the same lane/row
-    log-scan as v1 — on 1/4 the elements.
+    block, B = line-has-match at block end), then BIT-PACKED lane/row
+    log-scans — rows scan independently along lanes, so 32 rows' (A,B)
+    bits pack into one uint32 word and the 7-step lane scan runs on 1/32
+    the VREGs (the dominant "-c" cost; 73 -> 139 GB/s, BENCH_NOTES.md).
   * sparse-pattern fast path: if no phase's first-word filter hits in a
     tile, the whole tile reduces to "carry &= no-newline-in-tile"
     (BMH-style skipping, krep.c:1294-1303, generalized to tiles).
@@ -145,6 +147,70 @@ def _seg_scan_rows(A, B, row_idx, nrows):
         A = As & A
         s *= 2
     return A, B
+
+
+# --- bit-packed affine scans ---------------------------------------------
+# The (A, B) affine-bool values are single bits, and the tile's rows scan
+# independently along lanes (rows are pure SIMD batch). So 32 rows' bits
+# pack into ONE uint32 word per (packed-row, lane): bit c of packed word
+# (r, l) = row c*Pr + r (Pr = tile_r/32; the slices are contiguous sublane
+# blocks — no relayouts, unlike the rejected packed-layout reshape in
+# BENCH_NOTES). The 7-step lane scan then runs on 1/32 the VREGs, which
+# removes the dominant cost of the "-c" matched-line path.
+
+def _seg_scan_lane_packed(A, B, lane_idx):
+    """Lane scan of 32 bit-packed independent affine-bool scans.
+    Identity = (A=all-ones, B=0)."""
+    ones = _U(0xFFFFFFFF)
+    s = 1
+    while s < LANES:
+        As = _roll(A, s, axis=1)
+        Bs = _roll(B, s, axis=1)
+        ident = lane_idx < s
+        As = jnp.where(ident, ones, As)
+        Bs = jnp.where(ident, _U(0), Bs)
+        B = (Bs & A) | B
+        A = As & A
+        s *= 2
+    return A, B
+
+
+def _seg_scan_rows_packed(A, B, row_idx, nrows):
+    ones = _U(0xFFFFFFFF)
+    s = 1
+    while s < nrows:
+        As = _roll(A, s, axis=0)
+        Bs = _roll(B, s, axis=0)
+        ident = row_idx < s
+        As = jnp.where(ident, ones, As)
+        Bs = jnp.where(ident, _U(0), Bs)
+        B = (Bs & A) | B
+        A = As & A
+        s *= 2
+    return A, B
+
+
+def _u32_scalar(arr, sel):
+    """Extract the single selected element of a (r,1) uint32 array as a
+    scalar (Mosaic lacks unsigned reduces; bitcast to i32, sum, bitcast)."""
+    x = jax.lax.bitcast_convert_type(arr, jnp.int32)
+    v = jnp.sum(jnp.where(sel, x, 0))
+    # scalar i32 -> u32: same-width integer convert is bit-preserving
+    # (Mosaic's tpu.bitcast only accepts vectors)
+    return v.astype(jnp.uint32)
+
+
+def _bit_scan_affine(a_w, b_w):
+    """In-scalar log-scan of 32 bit-packed (A,B) pairs, LSB = earliest.
+    Returns the INCLUSIVE scan words (bit c = composition of pairs 0..c)."""
+    s = 1
+    while s < 32:
+        As = (a_w << _U(s)) | _U((1 << s) - 1)
+        Bs = b_w << _U(s)
+        b_w = (Bs & a_w) | b_w
+        a_w = As & a_w
+        s *= 2
+    return a_w, b_w
 
 
 # NOTE on the (nrows, 1) row-composition scan: a packed-layout variant
@@ -403,36 +469,83 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             Bs = B << _U(16)
             B = (Bs & A) | B
             A = As & A
-            # element-level composition = byte 3 of the inclusive scan;
-            # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
-            Ae = (A >> _U(24)).astype(_SCAN_DTYPE)
-            Be = (B >> _U(24)).astype(_SCAN_DTYPE)
             # exclusive within word (for per-byte s_before)
             EAw = (A << _U(8)) | _U(0x01)
             EBw = B << _U(8)
-
-            Ai, Bi = _seg_scan_lane(Ae, Be, lane_idx)
-            LEA = _roll(Ai, 1, axis=1)
-            LEB = _roll(Bi, 1, axis=1)
-            first_lane = lane_idx == 0
-            LEA = jnp.where(first_lane, 1, LEA)
-            LEB = jnp.where(first_lane, 0, LEB)
-            # row-level composition: packed-layout scan (see _row_entry_state)
-            RA = Ai[:, LANES - 1 :].astype(jnp.int32)
-            RB = Bi[:, LANES - 1 :].astype(jnp.int32)
             carry = scratch[2]
-            ridx = _iota2((tile_r, 1), 0)
-            RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
-            RPA = _roll(RAi, 1, axis=0)
-            RPB = _roll(RBi, 1, axis=0)
-            first_row = ridx == 0
-            RPA = jnp.where(first_row, 1, RPA)
-            RPB = jnp.where(first_row, 0, RPB)
-            row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
-            last_row = ridx == tile_r - 1
-            a_tot = jnp.max(jnp.where(last_row, RAi, 0))
-            b_tot = jnp.max(jnp.where(last_row, RBi, 0))
-            sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
+
+            if tile_r % 256 == 0:
+                # bit-packed element scans: bit c of packed (r, l) = element
+                # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
+                Pr = tile_r // 32
+                Ae32 = (A >> _U(24)) & _U(1)
+                Be32 = (B >> _U(24)) & _U(1)
+                PA = Ae32[0:Pr]
+                PB = Be32[0:Pr]
+                for c in range(1, 32):
+                    PA = PA | (Ae32[c * Pr : (c + 1) * Pr] << _U(c))
+                    PB = PB | (Be32[c * Pr : (c + 1) * Pr] << _U(c))
+                pl_idx = _iota2((Pr, LANES), 1)
+                PAi, PBi = _seg_scan_lane_packed(PA, PB, pl_idx)
+                LEA = _roll(PAi, 1, axis=1)
+                LEB = _roll(PBi, 1, axis=1)
+                fl = pl_idx == 0
+                LEA = jnp.where(fl, _U(0xFFFFFFFF), LEA)
+                LEB = jnp.where(fl, _U(0), LEB)
+                # within-block row scan (blocks stay independent per bit)
+                RA = PAi[:, LANES - 1 :]
+                RB = PBi[:, LANES - 1 :]
+                pridx = _iota2((Pr, 1), 0)
+                RAi, RBi = _seg_scan_rows_packed(RA, RB, pridx, Pr)
+                WEA = _roll(RAi, 1, axis=0)
+                WEB = _roll(RBi, 1, axis=0)
+                fr = pridx == 0
+                WEA = jnp.where(fr, _U(0xFFFFFFFF), WEA)
+                WEB = jnp.where(fr, _U(0), WEB)
+                # block totals: bits of the last within-block scan row
+                lastr = pridx == Pr - 1
+                a_tot_w = _u32_scalar(RAi, lastr)
+                b_tot_w = _u32_scalar(RBi, lastr)
+                # block-prefix compositions, one scalar bit log-scan
+                a_inc, b_inc = _bit_scan_affine(a_tot_w, b_tot_w)
+                a_tot = ((a_inc >> _U(31)) & _U(1)).astype(jnp.int32)
+                b_tot = ((b_inc >> _U(31)) & _U(1)).astype(jnp.int32)
+                # exclusive block prefixes, then fold in the tile carry
+                EAs = (a_inc << _U(1)) | _U(1)
+                EBs = b_inc << _U(1)
+                cbw = _U(0) - carry.astype(jnp.uint32)  # 0 or all-ones
+                S_w = (cbw & EAs) | EBs  # bit c = state entering block c
+                row_state_p = (S_w & WEA) | WEB
+                sb0_p = (row_state_p & LEA) | LEB
+                sb0 = jnp.concatenate(
+                    [(sb0_p >> _U(c)) & _U(1) for c in range(32)], axis=0
+                )
+            else:
+                # element-level composition = byte 3 of the inclusive scan;
+                # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
+                Ae = (A >> _U(24)).astype(_SCAN_DTYPE)
+                Be = (B >> _U(24)).astype(_SCAN_DTYPE)
+                Ai, Bi = _seg_scan_lane(Ae, Be, lane_idx)
+                LEA = _roll(Ai, 1, axis=1)
+                LEB = _roll(Bi, 1, axis=1)
+                first_lane = lane_idx == 0
+                LEA = jnp.where(first_lane, 1, LEA)
+                LEB = jnp.where(first_lane, 0, LEB)
+                RA = Ai[:, LANES - 1 :].astype(jnp.int32)
+                RB = Bi[:, LANES - 1 :].astype(jnp.int32)
+                ridx = _iota2((tile_r, 1), 0)
+                RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
+                RPA = _roll(RAi, 1, axis=0)
+                RPB = _roll(RBi, 1, axis=0)
+                first_row = ridx == 0
+                RPA = jnp.where(first_row, 1, RPA)
+                RPB = jnp.where(first_row, 0, RPB)
+                row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
+                last_row = ridx == tile_r - 1
+                a_tot = jnp.max(jnp.where(last_row, RAi, 0))
+                b_tot = jnp.max(jnp.where(last_row, RBi, 0))
+                sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
+
             sbw = ((sb0 * one) & EAw) | EBw
             fw = mword & (sbw ^ one)
             dfirst = jnp.sum(((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32))

@@ -99,3 +99,34 @@ def test_fuzz_cli_parity(seed):
             assert rc == wrc, (seed, case, args, text[:200])
         finally:
             os.unlink(path)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_large_text_parity(seed):
+    """Large-text cases (>= 512 KiB) so the bit-packed line-scan branch
+    (tile_r % 256 == 0) is fuzz-covered end-to-end through the CLI."""
+    rng = np.random.default_rng(7000 + seed)
+    alpha = np.frombuffer(b"the quick brown fox\n_", np.uint8)
+    n = int(rng.integers(512 * 1024, 1024 * 1024))
+    text = rng.choice(alpha, size=n).tobytes()
+    cases = [
+        ["-c", "the"],
+        ["-c", "e"],
+        ["-c", "-i", "-w", "fox"],
+        ["-c", "-e", "the", "-e", "qu", "-e", "fox"],
+        ["-o", "-m", "17", "quick"],
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        for args in cases:
+            out = io.BytesIO()
+            rc = cli.main([*args, path], out=out)
+            want, wrc = oracle.run([*args, path])
+            got_n = out.getvalue().replace(path.encode(), b"F")
+            want_n = want.replace(path.encode(), b"F")
+            assert got_n == want_n, (seed, args, got_n[:200], want_n[:200])
+            assert rc == wrc, (seed, args)
+    finally:
+        os.unlink(path)

@@ -195,3 +195,18 @@ def test_mask_kind_first_line():
         first_by_line.setdefault(li, s)
     assert flagged.tolist() == sorted(first_by_line.values())
     assert int(lines) == len(first_by_line)
+
+
+def test_packed_scan_cross_tile_carry():
+    """The bit-packed (A,B) lane scan (32 rows/word) must preserve exact
+    line accounting across grid tiles: 1 MiB -> two 1024-row tiles, with
+    a line spanning the tile boundary and dense matches."""
+    rng = np.random.default_rng(3)
+    text = rng.choice(list(b"the quick brown fox\n"), size=1 << 20).astype(
+        np.uint8
+    ).tobytes()
+    for pat in (b"e", b"the"):
+        c, l, starts = run_swar(text, pat, want_mask=False)
+        want = naive.all_starts(text, pat)
+        assert c == len(want)
+        assert l == naive.matched_lines(text, want)
