@@ -180,15 +180,15 @@ def config3(staged, n):
         i += 1
     pats64 = tuple(pats64)
 
-    def run64(j):
-        c, _, _ = pallas_swar.scan_multi(
-            staged.u32, jnp.int32(n - j), patterns=pats64,
-            case_sensitive=True, whole_word=False,
-            want_mask=False, want_lines=False,
-        )
-        return c
+    # the routed production path (MXU bit-matmul from K=32 up)
+    from krep_tpu.ops import multi as multi_mod
 
-    emit("64-literal multi-pattern fused scan (config 3b)", chained_gbps(run64, n))
+    def run64(j):
+        return multi_mod.fused_count_device(
+            staged.with_len(n - j), pats64, True, False
+        )
+
+    emit("64-literal multi-pattern count (config 3b, MXU route)", chained_gbps(run64, n))
 
 
 def config4(staged, n, data_path):

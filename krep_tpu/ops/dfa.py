@@ -51,16 +51,14 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
     need_masks = need_positions or params.count_lines_mode
 
     if not need_masks:
-        total = 0
-        for g in groups:
-            t, _, _ = pallas_swar.scan_multi(
-                staged.u32, staged.true_len, patterns=g,
-                case_sensitive=params.case_sensitive,
-                whole_word=params.whole_word, want_mask=False, want_lines=False,
+        # pure counting: one routed device pass (MXU bit-matmul when the
+        # set qualifies — single pass at any K beats per-group passes)
+        total = int(
+            multi_mod.fused_count_device(
+                staged, patterns, params.case_sensitive, params.whole_word,
+                max_count=mc,
             )
-            total += int(t)
-            if mc is not None and total >= mc:
-                break  # -m cap reached: later groups can't lower the count
+        )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
     union = np.zeros(n, dtype=np.uint8)

@@ -72,6 +72,61 @@ def scan_multi(
     return total, lines, out_masks
 
 
+MXU_MIN_K = 32        # measured crossover: MXU wins from K=32 up (v5e)
+MXU_MAX_PASS = 256    # D-block VMEM cap for one MXU pass
+
+
+def fused_count_device(staged, patterns, case_sensitive, whole_word,
+                       max_count=None):
+    """Total ALL-overlap K-pattern match count on device: routes between
+    the fused SWAR VPU pass (small K / long patterns / whole-word) and the
+    MXU bit-matmul kernel (ops/mxu_multi — measured faster from K=32 up
+    when all patterns fit its 13-byte window). Returns a device scalar;
+    multi-pass runs stop early once max_count is provably reached
+    (krep.c:2950-2962's budget capping)."""
+    import os
+
+    from . import mxu_multi, pallas_swar
+
+    use_mxu = (
+        os.environ.get("KREP_TPU_MXU", "auto") != "0"
+        and not whole_word
+        and len(patterns) >= MXU_MIN_K
+        and all(len(p) <= mxu_multi.MAX_LEN for p in patterns)
+    )
+    if use_mxu:
+        total = jnp.int32(0)
+        for i in range(0, len(patterns), MXU_MAX_PASS):
+            g = patterns[i : i + MXU_MAX_PASS]
+            total = total + mxu_multi.scan_count(
+                staged.u32, staged.true_len, patterns=g,
+                case_sensitive=case_sensitive,
+            )
+            if (
+                max_count is not None
+                and i + MXU_MAX_PASS < len(patterns)
+                and int(total) >= max_count
+            ):
+                break
+        return total
+    total = jnp.int32(0)
+    for i in range(0, len(patterns), FUSED_MAX):
+        g = patterns[i : i + FUSED_MAX]
+        c, _, _ = pallas_swar.scan_multi(
+            staged.u32, staged.true_len, patterns=g,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word, want_mask=False, want_lines=False,
+        )
+        total = total + c
+        if (
+            max_count is not None
+            and i + FUSED_MAX < len(patterns)
+            and int(total) >= max_count
+        ):
+            break
+    return total
+
+
 def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     """Fused K-pattern SWAR device pass + host attribution."""
     from ..engine.search import SearchResult, _EMPTY_POS
@@ -92,12 +147,11 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
 
     need_positions = params.track_positions and not params.count_matches_mode
     if not need_positions:
-        total, _, _ = pallas_swar.scan_multi(
-            staged.u32, staged.true_len, patterns=patterns,
-            case_sensitive=params.case_sensitive,
-            whole_word=params.whole_word, want_mask=False, want_lines=False,
+        total = int(
+            fused_count_device(
+                staged, patterns, params.case_sensitive, params.whole_word
+            )
         )
-        total = int(total)
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
     _, _, mask = pallas_swar.scan_multi(

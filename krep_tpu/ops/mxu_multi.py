@@ -1,0 +1,286 @@
+"""MXU multi-pattern count kernel — "Teddy on the MXU".
+
+The fused SWAR VPU path (pallas_swar.scan_multi) is exact but linear in K:
+each pattern-phase needs its own masked word compares (measured 31.5 GB/s
+at K=16, 7.7 at K=64 — BENCH_NOTES.md). The reference's answer at large K
+is Aho-Corasick (aho_corasick.c:299-466), a per-byte DFA walk that has no
+efficient TPU lowering (the state gather measured ~500x slower than fused
+scans). This kernel instead turns multi-pattern matching into a matmul so
+the MXU does the per-pattern work:
+
+  * A match of pattern k at byte position 4w+p (word w, phase p) is a
+    Hamming-distance-zero test over the window's bits. With text features
+    t_{j,b} = bit b of stream byte 4w+j (j < 16) and weights
+    g = (1 - 2*patbit), the distance is linear in the text bits:
+        ham[(p,k), w] = sum_{j,b} t_{j,b} * g[(p,k),(j,b)] + sum(patbits)
+    so  match <=> D[(p,k), w] == -sum(patbits),  where D = G @ W is ONE
+    int8 matmul with contraction EXACTLY 128 (16 byte offsets x 8 bits —
+    the MXU's native width). Patterns up to 13 bytes fit (p + len <= 16).
+  * W is built with elementwise ops only: the word stream is presented as
+    (segments, 1024) rows (a free row-major reshape of the staged u32
+    view), each segment row is sublane-broadcast to 128 rows, and bit
+    (j, b) is extracted by ANDing with a per-row constant mask — no
+    relayouts, no gathers, no variable shifts.
+  * The (4K, 1024) distance block lives and dies in VMEM; only the hit
+    count leaves the kernel. (An XLA conv formulation of the same math
+    materializes the [N, K] distances in HBM — measured memory-bound.)
+
+Count semantics match the fused path: per-pattern ALL-overlap counts
+summed, i.e. the Aho-Corasick total (AC count == sum of per-pattern BMH
+counts, test_multiple_patterns.c:345-471). Case-insensitive folds text
+and patterns; whole-word and position queries route to the SWAR path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import LANES
+
+SEG_WORDS = 1024          # words per segment row (4 KiB of text)
+SEG_PER_STEP = 32         # segment rows per grid step (128 KiB of text)
+MAX_LEN = 13              # p + len <= 16 stream bytes covered by 128 bits
+ROWS = 128                # contraction: 16 byte offsets x 8 bits
+
+
+def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
+    """Host-side weight build: G (4Kp, 128) int8, negbias/lens (4Kp, 1)."""
+    from .literal import fold_bytes_host
+
+    pats = [p if case_sensitive else fold_bytes_host(p) for p in patterns]
+    K = len(pats)
+    Kp = -(-K // 8) * 8
+    G = np.zeros((4 * Kp, ROWS), np.int8)
+    negbias = np.ones((4 * Kp, 1), np.int32)   # 1 => padding row never hits
+    lens = np.full((4 * Kp, 1), 1 << 20, np.int32)
+    for p in range(4):
+        for k, pat in enumerate(pats):
+            r2 = p * Kp + k
+            s = 0
+            for d, byte in enumerate(pat):
+                j = p + d
+                for b in range(8):
+                    bit = (byte >> b) & 1
+                    G[r2, 8 * j + b] = 1 - 2 * bit
+                    s += bit
+            negbias[r2, 0] = -s
+            lens[r2, 0] = len(pat)
+    # per-W-row bit-select masks: row r = bit b of stream byte j (j=r//8,
+    # b=r%8) living at bit 8*(j%4)+b of word (w + j//4)
+    bitmask = np.zeros((ROWS, 1), np.uint32)
+    for r in range(ROWS):
+        j, b = r // 8, r % 8
+        bitmask[r, 0] = np.uint32(1) << np.uint32(8 * (j % 4) + b)
+    return (
+        jnp.asarray(G),
+        jnp.asarray(negbias),
+        jnp.asarray(lens),
+        jnp.asarray(bitmask),
+    )
+
+
+def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
+                 seg_per_step: int = SEG_PER_STEP):
+    SPS = seg_per_step
+    def kernel(tl_ref, g_ref, nb_ref, len_ref, bm_ref, main_ref, halo_ref,
+               count_ref, scratch, *, halo_jmax: int):
+        from .pallas_swar import swar_fold
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            scratch[0] = 0
+
+        true_len = tl_ref[0]
+        # the halo block is 8 segment rows at a saturated offset (the staged
+        # zero region is only 1 segment); select the row that actually
+        # follows this block's last segment
+        j_used = jnp.minimum((i + 1) * (SPS // 8), halo_jmax)
+        idx_in_block = (i + 1) * SPS - 8 * j_used
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (8, SEG_WORDS), 0)
+        hbits = jax.lax.bitcast_convert_type(halo_ref[:], jnp.int32)
+        hsel = jnp.sum(
+            jnp.where(hrow == idx_in_block, hbits, 0), axis=0, keepdims=True
+        )
+        hsel = jax.lax.bitcast_convert_type(hsel, jnp.uint32)
+        buf = jnp.concatenate([main_ref[:], hsel], axis=0)
+        if not case_sensitive:
+            buf = swar_fold(buf)
+        G = g_ref[:]
+        negbias = nb_ref[:]
+        lens = len_ref[:]
+        bitmask = bm_ref[:]
+
+        if strict:
+            r2idx = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows2, SEG_WORDS), 0
+            )
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows2, SEG_WORDS), 1
+            )
+            Kp = n_rows2 // 4
+            phase = r2idx // Kp
+
+        # block-level word-shift arrays: E[q][r, l] = word r*SEG_WORDS+l+q
+        # (aligned rolls/wheres only; row r borrows row r+1's first q words)
+        from .pallas_swar import _roll
+
+        nrows_buf = buf.shape[0]
+        lane_buf = jax.lax.broadcasted_iota(
+            jnp.int32, (nrows_buf, SEG_WORDS), 1
+        )
+        E = [buf]
+        for q in range(1, 4):
+            Rq = _roll(buf, -q, axis=1)
+            Sq = _roll(Rq, -1, axis=0)
+            E.append(jnp.where(lane_buf < SEG_WORDS - q, Rq, Sq))
+
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, SEG_WORDS), 0)
+
+        def seg_row(Eq, s):
+            # row s of Eq at sublane offset 0: aligned 8-row slice, then a
+            # select-sum (Mosaic lacks misaligned single-row extracts)
+            blk = jax.lax.bitcast_convert_type(
+                Eq[8 * (s // 8) : 8 * (s // 8) + 8], jnp.int32
+            )
+            row = jnp.sum(
+                jnp.where(iota8 == s % 8, blk, 0), axis=0, keepdims=True
+            )
+            return jax.lax.bitcast_convert_type(row, jnp.uint32)
+
+        dcount = jnp.int32(0)
+        for s in range(SPS):
+            # rows 0..31 read word w, 32..63 word w+1, ... (concat of
+            # aligned 32-row broadcasts — cheaper than 128-row selects)
+            wsel = jnp.concatenate(
+                [
+                    jnp.broadcast_to(seg_row(E[q], s), (32, SEG_WORDS))
+                    for q in range(4)
+                ],
+                axis=0,
+            )
+            bits = (wsel & bitmask) != jnp.uint32(0)
+            W = bits.astype(jnp.int8)
+            D = jax.lax.dot_general(
+                G, W, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                            # (n_rows2, SEG_WORDS)
+            hits = D == negbias
+            if strict:
+                # bound match STARTS to [0, true_len - len + 1) explicitly.
+                # The default path skips this: staged padding past true_len
+                # is zero and patterns are NUL-free, so out-of-bounds
+                # windows can never reach distance 0 (see scan_count).
+                word = (i * SPS + s) * SEG_WORDS + lane
+                start = word * 4 + phase
+                hits = hits & (start < true_len - lens + 1)
+            dcount = dcount + jnp.sum(hits.astype(jnp.int32))
+
+        scratch[0] += dcount
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            count_ref[0] = scratch[0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patterns", "case_sensitive", "interpret", "strict"),
+)
+def scan_count(
+    text32: jax.Array,
+    true_len: jax.Array,
+    *,
+    patterns: tuple[bytes, ...],
+    case_sensitive: bool = True,
+    interpret: bool = False,
+    strict: bool = False,
+):
+    """Total ALL-overlap match count of K patterns over the staged u32 view
+    (dispatch.StagedText.u32, shape (R4 + H4, 128)). Patterns must be
+    1..MAX_LEN bytes. One int8 MXU matmul per 4 KiB segment.
+
+    strict=False (default) relies on the staging contract: bytes at and
+    beyond true_len in the staged buffer are ZERO, and patterns are
+    NUL-free (CLI/-f patterns are C-string-like, as in the reference), so
+    a window crossing true_len can never reach Hamming distance 0 and no
+    explicit start-bound mask is needed. Pass strict=True when scanning a
+    buffer whose tail past true_len may hold non-zero bytes
+    (e.g. StagedText.with_len)."""
+    if not patterns or any(
+        len(p) == 0 or len(p) > MAX_LEN for p in patterns
+    ):
+        raise NotImplementedError("pattern length outside MXU kernel support")
+    rows_total, lanes = text32.shape
+    assert lanes == LANES
+    from .dispatch import HALO_ROWS
+
+    R4 = rows_total - HALO_ROWS // 4
+    # free row-major reshape: (rows, 128) words -> (segments, 1024)
+    n_seg_total = rows_total * LANES // SEG_WORDS
+    view = text32.reshape(n_seg_total, SEG_WORDS)
+    n_seg_main = R4 * LANES // SEG_WORDS
+    sps = SEG_PER_STEP if n_seg_main % SEG_PER_STEP == 0 else 16
+    assert n_seg_main % sps == 0, "bucket too small for MXU scan"
+    T = n_seg_main // sps
+    # last halo block starts AT the zero segment (row n_seg_main); it
+    # overruns the array by 7 rows — Pallas permits the overrun, and the
+    # kernel's row-select only ever reads row 0 of that block
+    halo_jmax = n_seg_main // 8
+
+    G, negbias, lens, bitmask = build_tables(patterns, case_sensitive)
+    n_rows2 = G.shape[0]
+    tl = jnp.stack([true_len.astype(jnp.int32)])
+
+    # constants load whole into VMEM; text = non-overlapping 32-segment
+    # blocks + a 1-segment forward halo (the staged H4 zero rows are
+    # exactly one extra segment, so the last halo block is in bounds)
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i, t: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            whole(G),
+            whole(negbias),
+            whole(lens),
+            whole(bitmask),
+            pl.BlockSpec(
+                (sps, SEG_WORDS),
+                lambda i, t: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, SEG_WORDS),
+                lambda i, t: (
+                    jnp.minimum((i + 1) * (sps // 8), halo_jmax),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+
+    kernel = functools.partial(
+        _make_kernel(n_rows2, case_sensitive, strict, sps),
+        halo_jmax=halo_jmax,
+    )
+    (count,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32)],
+        interpret=interpret,
+    )(tl, G, negbias, lens, bitmask, view, view)
+    return count[0]

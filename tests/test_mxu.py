@@ -1,0 +1,96 @@
+"""MXU bit-matmul multi-pattern count kernel (ops/mxu_multi) vs naive,
+interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import naive
+from krep_tpu.ops import dispatch, mxu_multi
+
+
+def run_mxu(text: bytes, pats, cs=True, strict=False):
+    st = dispatch.stage(text)
+    return int(
+        mxu_multi.scan_count(
+            st.u32, st.true_len, patterns=tuple(pats),
+            case_sensitive=cs, strict=strict, interpret=True,
+        )
+    )
+
+
+def naive_total(text: bytes, pats, cs=True):
+    if not cs:
+        from krep_tpu.ops.literal import fold_bytes_host
+
+        text = fold_bytes_host(text)
+        pats = [fold_bytes_host(p) for p in pats]
+    return sum(len(naive.all_starts(text, p)) for p in pats)
+
+
+TEXT = naive.gen_english(29, 200_000)
+
+
+@pytest.mark.parametrize(
+    "pats",
+    [
+        (b"the", b"fox", b"qu"),
+        (b"e",),
+        (b"a" * 13, b"the quick", b"x"),
+        tuple(TEXT[i : i + 4] for i in range(0, 64, 4)),
+    ],
+)
+def test_mxu_counts_vs_naive(pats):
+    assert run_mxu(TEXT, pats) == naive_total(TEXT, pats)
+
+
+def test_mxu_case_insensitive():
+    pats = (b"The", b"AND", b"iS")
+    assert run_mxu(TEXT, pats, cs=False) == naive_total(TEXT, pats, cs=False)
+
+
+def test_mxu_strict_matches_default():
+    """strict=True (explicit start bounds) must equal the default path,
+    which relies on the zero-padding/NUL-free-pattern staging contract."""
+    pats = (b"the", b"nd ", b"o")
+    assert run_mxu(TEXT, pats, strict=True) == run_mxu(TEXT, pats)
+
+
+def test_mxu_match_at_text_end():
+    """a match whose window ends exactly at true_len must count; one byte
+    later must not (zero padding makes overruns unmatchable)."""
+    text = b"x" * 5000 + b"needle"
+    assert run_mxu(text, (b"needle",)) == 1
+    assert run_mxu(text, (b"needle0",)) == 0
+    assert run_mxu(text, (b"dle",)) == 1
+
+
+def test_mxu_rejects_long_patterns():
+    with pytest.raises(NotImplementedError):
+        run_mxu(TEXT, (b"a" * 14,))
+
+
+def test_fused_count_router_equivalence():
+    """fused_count_device must agree between its MXU and VPU routes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from krep_tpu.ops import multi as multi_mod
+    from krep_tpu.ops import pallas_swar
+
+    pats = tuple(
+        TEXT[i : i + 3 + (i % 4)] for i in range(0, 3 * 40, 3)
+    )
+    assert len(pats) >= multi_mod.MXU_MIN_K
+    st = dispatch.stage(TEXT)
+    want = naive_total(TEXT, pats)
+    got_mxu = int(
+        mxu_multi.scan_count(
+            st.u32, st.true_len, patterns=pats, interpret=True
+        )
+    )
+    c, _, _ = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats,
+        want_mask=False, want_lines=False, interpret=True,
+    )
+    assert got_mxu == int(c) == want
