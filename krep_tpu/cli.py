@@ -121,12 +121,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
         elif o == "-c":
             count_mode = True
         elif o in ("-m", "--max-count"):
+            # strtol semantics (krep.c:3511-3520): out-of-range/garbage
+            # values WARN and are ignored, they do not abort
             try:
-                max_count = int(a)
-                if max_count < 0:
+                v = int(a)
+                if not (0 <= v <= (1 << 63) - 1):
                     raise ValueError
+                max_count = v
             except ValueError:
-                return _err(f"invalid max count: {a}")
+                print(
+                    f"krep: Warning: Invalid number for max-count '{a}'",
+                    file=sys.stderr,
+                )
         elif o == "-o":
             only_matching = True
         elif o == "-E":

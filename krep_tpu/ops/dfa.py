@@ -34,18 +34,15 @@ def search_dfa(params: SearchParams, text) -> "SearchResult":
 
 
 def _grouped_swar(params: SearchParams, text) -> "SearchResult":
-    """Fused SWAR scans in groups of FUSED_MAX patterns; union masks are
-    OR-merged on host, attribution and line accounting as in ops/multi.py."""
+    """Routed large-K device scans (MXU bit-matmul single pass when the set
+    qualifies, else fused SWAR groups of FUSED_MAX); union masks OR-merge
+    on device, attribution and line accounting as in ops/multi.py."""
     from ..engine.search import SearchResult, _EMPTY_POS
-    from . import dispatch, multi as multi_mod, pallas_swar
+    from . import dispatch, multi as multi_mod
 
     patterns = tuple(p for p in params.patterns if len(p) > 0)
     n = len(text)
     staged = dispatch.stage(text)
-    groups = [
-        patterns[i : i + multi_mod.FUSED_MAX]
-        for i in range(0, len(patterns), multi_mod.FUSED_MAX)
-    ]
     mc = params.max_count
     need_positions = params.track_positions and not params.count_matches_mode
     need_masks = need_positions or params.count_lines_mode
@@ -61,14 +58,10 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
         )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    union = np.zeros(n, dtype=np.uint8)
-    for g in groups:
-        _, _, mask = pallas_swar.scan_multi(
-            staged.u32, staged.true_len, patterns=g,
-            case_sensitive=params.case_sensitive,
-            whole_word=params.whole_word, want_mask=True, want_lines=False,
-        )
-        union |= np.asarray(mask).view(np.uint8)[:n]
+    mask = multi_mod.fused_union_mask_device(
+        staged, patterns, params.case_sensitive, params.whole_word
+    )
+    union = np.asarray(mask).view(np.uint8)[:n]
     union_starts = np.flatnonzero(union).astype(np.int64)
     data = (
         np.frombuffer(text, np.uint8)
@@ -79,6 +72,18 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
     if params.count_lines_mode:
         from ..engine.resolve import newline_positions_host
 
+        if params.whole_word:
+            # the MXU union mask is a SUPERSET under whole-word (no
+            # in-kernel boundary pruning) — verify boundaries host-side
+            # before line attribution (exact for the VPU mask too)
+            from ..engine import resolve as _resolve
+
+            vstarts, _ = _resolve.attribute_patterns(
+                data, union_starts, patterns,
+                case_sensitive=params.case_sensitive, whole_word=True,
+                anchor="start",
+            )
+            union_starts = np.unique(np.asarray(vstarts, np.int64))
         nl = newline_positions_host(data)
         try:
             from ..native import runtime as _native

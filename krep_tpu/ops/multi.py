@@ -127,6 +127,43 @@ def fused_count_device(staged, patterns, case_sensitive, whole_word,
     return total
 
 
+def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
+    """Union match-start mask (flat packed-u32, v1 layout) for K patterns:
+    MXU bit-matmul when the set qualifies, else fused SWAR. With
+    whole-word the MXU mask is a SUPERSET (no boundary pruning in-kernel);
+    callers' host attribution re-verifies boundaries exactly, the same
+    superset-safe contract as the slab path (_search_multi_mixed)."""
+    import os
+
+    from . import mxu_multi, pallas_swar
+
+    use_mxu = (
+        os.environ.get("KREP_TPU_MXU", "auto") != "0"
+        and len(patterns) >= MXU_MIN_K
+        and all(len(p) <= mxu_multi.MAX_LEN for p in patterns)
+    )
+    if use_mxu:
+        union = None
+        for i in range(0, len(patterns), MXU_MAX_PASS):
+            g = patterns[i : i + MXU_MAX_PASS]
+            _, m = mxu_multi.scan_count(
+                staged.u32, staged.true_len, patterns=g,
+                case_sensitive=case_sensitive, want_mask=True,
+            )
+            union = m if union is None else (union | m)
+        return union
+    union = None
+    for i in range(0, len(patterns), FUSED_MAX):
+        g = patterns[i : i + FUSED_MAX]
+        _, _, m = pallas_swar.scan_multi(
+            staged.u32, staged.true_len, patterns=g,
+            case_sensitive=case_sensitive,
+            whole_word=whole_word, want_mask=True, want_lines=False,
+        )
+        union = m if union is None else (union | m)
+    return union
+
+
 def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     """Fused K-pattern SWAR device pass + host attribution."""
     from ..engine.search import SearchResult, _EMPTY_POS
@@ -154,10 +191,8 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
         )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    _, _, mask = pallas_swar.scan_multi(
-        staged.u32, staged.true_len, patterns=patterns,
-        case_sensitive=params.case_sensitive,
-        whole_word=params.whole_word, want_mask=True, want_lines=False,
+    mask = fused_union_mask_device(
+        staged, patterns, params.case_sensitive, params.whole_word
     )
     from ..engine import resolve
 

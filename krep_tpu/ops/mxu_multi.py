@@ -38,6 +38,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_U = lambda x: jnp.uint32(x)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,10 +88,14 @@ def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
 
 
 def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
-                 seg_per_step: int = SEG_PER_STEP):
+                 seg_per_step: int = SEG_PER_STEP, want_mask: bool = False):
     SPS = seg_per_step
     def kernel(tl_ref, g_ref, nb_ref, len_ref, bm_ref, main_ref, halo_ref,
-               count_ref, scratch, *, halo_jmax: int):
+               count_ref, *rest, halo_jmax: int):
+        if want_mask:
+            mask_ref, scratch = rest
+        else:
+            (scratch,) = rest
         from .pallas_swar import swar_fold
 
         i = pl.program_id(0)
@@ -118,6 +124,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         lens = len_ref[:]
         bitmask = bm_ref[:]
 
+        Kp = n_rows2 // 4
         if strict:
             r2idx = jax.lax.broadcasted_iota(
                 jnp.int32, (n_rows2, SEG_WORDS), 0
@@ -125,7 +132,6 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (n_rows2, SEG_WORDS), 1
             )
-            Kp = n_rows2 // 4
             phase = r2idx // Kp
 
         # block-level word-shift arrays: E[q][r, l] = word r*SEG_WORDS+l+q
@@ -156,6 +162,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             return jax.lax.bitcast_convert_type(row, jnp.uint32)
 
         dcount = jnp.int32(0)
+        mrows = []
         for s in range(SPS):
             # rows 0..31 read word w, 32..63 word w+1, ... (concat of
             # aligned 32-row broadcasts — cheaper than 128-row selects)
@@ -182,7 +189,20 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                 start = word * 4 + phase
                 hits = hits & (start < true_len - lens + 1)
             dcount = dcount + jnp.sum(hits.astype(jnp.int32))
+            if want_mask:
+                # union mask, v1 packed layout: byte p of word w = 1 iff
+                # some pattern starts at byte 4w+p
+                mrow = jnp.zeros((1, SEG_WORDS), jnp.uint32)
+                hi = hits.astype(jnp.int32)
+                for ph in range(4):
+                    anyp = jnp.sum(
+                        hi[ph * Kp : (ph + 1) * Kp], axis=0, keepdims=True
+                    )
+                    mrow = mrow | ((anyp > 0).astype(jnp.uint32) << _U(8 * ph))
+                mrows.append(mrow)
 
+        if want_mask:
+            mask_ref[:] = jnp.concatenate(mrows, axis=0)
         scratch[0] += dcount
 
         @pl.when(i == pl.num_programs(0) - 1)
@@ -194,7 +214,9 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patterns", "case_sensitive", "interpret", "strict"),
+    static_argnames=(
+        "patterns", "case_sensitive", "interpret", "strict", "want_mask"
+    ),
 )
 def scan_count(
     text32: jax.Array,
@@ -204,6 +226,7 @@ def scan_count(
     case_sensitive: bool = True,
     interpret: bool = False,
     strict: bool = False,
+    want_mask: bool = False,
 ):
     """Total ALL-overlap match count of K patterns over the staged u32 view
     (dispatch.StagedText.u32, shape (R4 + H4, 128)). Patterns must be
@@ -269,18 +292,39 @@ def scan_count(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + (
+                [
+                    pl.BlockSpec(
+                        (sps, SEG_WORDS),
+                        lambda i, t: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                if want_mask
+                else []
+            )
+        ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
     kernel = functools.partial(
-        _make_kernel(n_rows2, case_sensitive, strict, sps),
+        _make_kernel(n_rows2, case_sensitive, strict, sps, want_mask),
         halo_jmax=halo_jmax,
     )
-    (count,) = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
+    if want_mask:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_seg_main, SEG_WORDS), jnp.uint32)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32)],
+        out_shape=out_shape,
         interpret=interpret,
     )(tl, G, negbias, lens, bitmask, view, view)
-    return count[0]
+    if want_mask:
+        # same flat packed layout as pallas_swar's mask (word-major)
+        return outs[0][0], outs[1].reshape(-1)
+    return outs[0][0]

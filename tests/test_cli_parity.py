@@ -175,3 +175,19 @@ def test_gitignore_parity(tmp_path):
     want, want_rc = oracle.run(["-r", "--gitignore", "-c", "the", str(d)])
     assert sorted(got.splitlines()) == sorted(want.splitlines())
     assert rc == want_rc
+
+
+def test_max_count_invalid_values_warn_like_reference(tmp_path):
+    """strtol semantics (krep.c:3511-3520): out-of-range or garbage -m
+    values warn on stderr and are IGNORED (no abort)."""
+    f = tmp_path / "t.txt"
+    f.write_text("the cat\nthe dog the bird\nno match\n")
+    for mval in ("18446744073709551615", "abc", "-3", ""):
+        args = ["-c", "-m", mval, "the", str(f)]
+        want, wrc = oracle.run(args)
+        out = io.BytesIO()
+        rc = cli.main(args, out=out)
+        assert out.getvalue().replace(str(f).encode(), b"F") == want.replace(
+            str(f).encode(), b"F"
+        ), mval
+        assert rc == wrc, mval

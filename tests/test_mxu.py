@@ -94,3 +94,20 @@ def test_fused_count_router_equivalence():
         want_mask=False, want_lines=False, interpret=True,
     )
     assert got_mxu == int(c) == want
+
+
+def test_mxu_union_mask_vs_naive():
+    """want_mask=True returns the exact union start mask (v1 packed
+    layout), identical to the SWAR mask."""
+    import numpy as np
+
+    pats = tuple(TEXT[i : i + 3 + (i % 4)] for i in range(0, 120, 3))
+    st = dispatch.stage(TEXT)
+    c, mask = mxu_multi.scan_count(
+        st.u32, st.true_len, patterns=pats, want_mask=True, interpret=True
+    )
+    mk = np.asarray(mask).view(np.uint8)[: len(TEXT)]
+    got = np.flatnonzero(mk).tolist()
+    want = sorted({s for p in pats for s in naive.all_starts(TEXT, p)})
+    assert got == want
+    assert int(c) == naive_total(TEXT, pats)
