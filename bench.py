@@ -184,8 +184,10 @@ def config3(staged, n):
     from krep_tpu.ops import multi as multi_mod
 
     def run64(j):
+        # strict: with_len buffers hold live text past true_len, so the
+        # MXU kernel must mask start bounds explicitly
         return multi_mod.fused_count_device(
-            staged.with_len(n - j), pats64, True, False
+            staged.with_len(n - j), pats64, True, False, strict=True
         )
 
     emit("64-literal multi-pattern count (config 3b, MXU route)", chained_gbps(run64, n))

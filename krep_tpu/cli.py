@@ -122,17 +122,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
             count_mode = True
         elif o in ("-m", "--max-count"):
             # strtol semantics (krep.c:3511-3520): out-of-range/garbage
-            # values WARN and are ignored, they do not abort
-            try:
-                v = int(a)
-                if not (0 <= v <= (1 << 63) - 1):
-                    raise ValueError
-                max_count = v
-            except ValueError:
+            # values WARN and are ignored, they do not abort. Full-string
+            # base-10 only (no underscores/unicode digits, which Python's
+            # int() would accept; leading C whitespace is allowed, the
+            # endptr check rejects anything trailing).
+            import re
+
+            m = re.fullmatch(r"[ \t\n\r\f\v]*[+-]?[0-9]+", a)
+            v = int(a) if m else None
+            if v is None or not (0 <= v <= (1 << 63) - 1):
                 print(
                     f"krep: Warning: Invalid number for max-count '{a}'",
                     file=sys.stderr,
                 )
+            else:
+                max_count = v
         elif o == "-o":
             only_matching = True
         elif o == "-E":
@@ -242,7 +246,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     try:
         if string_mode_pattern is not None:
-            result = search_string(params, haystack)
+            # the reference's -s is single-threaded (krep.c:2390-2392); we
+            # scan on the mesh but still let -t cap the shard count
+            result = search_string(params, haystack, threads)
             _emit(out, result, haystack, None, params, color)
         elif recursive and target is not None:
             if not os.path.isdir(target):

@@ -143,7 +143,8 @@ REGEX_FILTER_MIN_BYTES = int(
 )
 
 
-def search_regex(params: SearchParams, text) -> "SearchResult":
+def search_regex(params: SearchParams, text,
+                 threads: int | None = None) -> "SearchResult":
     from . import ere_analyze
 
     if isinstance(text, np.ndarray):
@@ -176,10 +177,11 @@ def search_regex(params: SearchParams, text) -> "SearchResult":
         and line_safe
         and os.cpu_count() and os.cpu_count() > 1
         and hasattr(os, "fork")
+        and threads != 1
     )
     if can_parallel:
         try:
-            return _search_regex_parallel(params, data)
+            return _search_regex_parallel(params, data, threads)
         except Exception:
             pass  # fall back to sequential on any pool failure
     return _search_regex_seq(params, data)
@@ -352,7 +354,8 @@ def _ranges_loop_python(src, cflags, data: bytes, ranges, params, max_count):
     return count, pos_arr
 
 
-def _search_regex_parallel(params: SearchParams, data: bytes):
+def _search_regex_parallel(params: SearchParams, data: bytes,
+                           threads: int | None = None):
     import multiprocessing as mp
 
     from .search import SearchResult, _EMPTY_POS
@@ -363,6 +366,10 @@ def _search_regex_parallel(params: SearchParams, data: bytes):
 
     n = len(data)
     workers = min(os.cpu_count() or 1, 32)
+    if threads is not None:
+        # -t caps regex chunk workers like the reference's thread count
+        # caps its regex chunk threads (krep.c:2816-2905)
+        workers = max(1, min(workers, threads))
     ranges = _parallel_chunks(n, data, workers)
 
     global _G

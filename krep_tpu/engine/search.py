@@ -478,16 +478,22 @@ def _search_single_literal(
     return SearchResult(len(starts), positions, n)
 
 
-def _search_multi_literal(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+def _search_multi_literal(
+    params: SearchParams, text: bytes, sel: Selection,
+    threads: int | None = None,
+) -> SearchResult:
     from ..ops import multi
 
-    return multi.search_multi(params, text)
+    return multi.search_multi(params, text, threads)
 
 
-def _search_regex(params: SearchParams, text: bytes, sel: Selection) -> SearchResult:
+def _search_regex(
+    params: SearchParams, text: bytes, sel: Selection,
+    threads: int | None = None,
+) -> SearchResult:
     from . import regex_engine
 
-    return regex_engine.search_regex(params, text)
+    return regex_engine.search_regex(params, text, threads)
 
 
 def search_string(
@@ -501,9 +507,9 @@ def search_string(
 
     sel = select_algorithm(params)
     if sel.algorithm is Algorithm.REGEX:
-        return _search_regex(params, text, sel)
+        return _search_regex(params, text, sel, threads)
     if sel.algorithm is Algorithm.AHO_CORASICK:
-        return _search_multi_literal(params, text, sel)
+        return _search_multi_literal(params, text, sel, threads)
     return _search_single_literal(params, text, sel, threads)
 
 

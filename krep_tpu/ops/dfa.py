@@ -58,7 +58,7 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
         )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    mask = multi_mod.fused_union_mask_device(
+    mask, mask_exact = multi_mod.fused_union_mask_device(
         staged, patterns, params.case_sensitive, params.whole_word
     )
     union = np.asarray(mask).view(np.uint8)[:n]
@@ -72,10 +72,10 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
     if params.count_lines_mode:
         from ..engine.resolve import newline_positions_host
 
-        if params.whole_word:
+        if not mask_exact:
             # the MXU union mask is a SUPERSET under whole-word (no
             # in-kernel boundary pruning) — verify boundaries host-side
-            # before line attribution (exact for the VPU mask too)
+            # before line attribution (the SWAR mask pruned in-kernel)
             from ..engine import resolve as _resolve
 
             vstarts, _ = _resolve.attribute_patterns(

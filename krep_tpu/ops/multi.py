@@ -76,31 +76,43 @@ MXU_MIN_K = 32        # measured crossover: MXU wins from K=32 up (v5e)
 MXU_MAX_PASS = 256    # D-block VMEM cap for one MXU pass
 
 
+def _mxu_eligible(patterns, whole_word):
+    """Routing guard for ops/mxu_multi: besides length, its non-strict
+    path requires NUL-free patterns (a NUL-containing pattern would match
+    the zero padding past true_len — see scan_count's staging contract)."""
+    import os
+
+    from . import mxu_multi
+
+    return (
+        os.environ.get("KREP_TPU_MXU", "auto") != "0"
+        and not whole_word
+        and len(patterns) >= MXU_MIN_K
+        and all(
+            0 < len(p) <= mxu_multi.MAX_LEN and 0 not in p for p in patterns
+        )
+    )
+
+
 def fused_count_device(staged, patterns, case_sensitive, whole_word,
-                       max_count=None):
+                       max_count=None, strict=False):
     """Total ALL-overlap K-pattern match count on device: routes between
     the fused SWAR VPU pass (small K / long patterns / whole-word) and the
     MXU bit-matmul kernel (ops/mxu_multi — measured faster from K=32 up
     when all patterns fit its 13-byte window). Returns a device scalar;
     multi-pass runs stop early once max_count is provably reached
-    (krep.c:2950-2962's budget capping)."""
-    import os
-
+    (krep.c:2950-2962's budget capping). strict=True forces explicit
+    start-bound masking in the MXU kernel — required when the staged
+    buffer's tail past true_len may hold non-zero bytes (with_len)."""
     from . import mxu_multi, pallas_swar
 
-    use_mxu = (
-        os.environ.get("KREP_TPU_MXU", "auto") != "0"
-        and not whole_word
-        and len(patterns) >= MXU_MIN_K
-        and all(len(p) <= mxu_multi.MAX_LEN for p in patterns)
-    )
-    if use_mxu:
+    if _mxu_eligible(patterns, whole_word):
         total = jnp.int32(0)
         for i in range(0, len(patterns), MXU_MAX_PASS):
             g = patterns[i : i + MXU_MAX_PASS]
             total = total + mxu_multi.scan_count(
                 staged.u32, staged.true_len, patterns=g,
-                case_sensitive=case_sensitive,
+                case_sensitive=case_sensitive, strict=strict,
             )
             if (
                 max_count is not None
@@ -129,20 +141,16 @@ def fused_count_device(staged, patterns, case_sensitive, whole_word,
 
 def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
     """Union match-start mask (flat packed-u32, v1 layout) for K patterns:
-    MXU bit-matmul when the set qualifies, else fused SWAR. With
-    whole-word the MXU mask is a SUPERSET (no boundary pruning in-kernel);
-    callers' host attribution re-verifies boundaries exactly, the same
-    superset-safe contract as the slab path (_search_multi_mixed)."""
-    import os
-
+    MXU bit-matmul when the set qualifies, else fused SWAR. Returns
+    (mask, exact): with whole-word the MXU mask is a SUPERSET (no boundary
+    pruning in-kernel, exact=False) and callers must re-verify boundaries
+    host-side — the superset-safe contract of the slab path
+    (_search_multi_mixed); the SWAR mask prunes in-kernel (exact=True)."""
     from . import mxu_multi, pallas_swar
 
-    use_mxu = (
-        os.environ.get("KREP_TPU_MXU", "auto") != "0"
-        and len(patterns) >= MXU_MIN_K
-        and all(len(p) <= mxu_multi.MAX_LEN for p in patterns)
-    )
-    if use_mxu:
+    # whole-word is allowed on this route (superset mask + host
+    # verification); the NUL-free requirement still applies
+    if _mxu_eligible(patterns, whole_word=False):
         union = None
         for i in range(0, len(patterns), MXU_MAX_PASS):
             g = patterns[i : i + MXU_MAX_PASS]
@@ -151,7 +159,7 @@ def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
                 case_sensitive=case_sensitive, want_mask=True,
             )
             union = m if union is None else (union | m)
-        return union
+        return union, not whole_word
     union = None
     for i in range(0, len(patterns), FUSED_MAX):
         g = patterns[i : i + FUSED_MAX]
@@ -161,7 +169,7 @@ def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
             whole_word=whole_word, want_mask=True, want_lines=False,
         )
         union = m if union is None else (union | m)
-    return union
+    return union, True
 
 
 def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
@@ -191,7 +199,7 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
         )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    mask = fused_union_mask_device(
+    mask, _mask_exact = fused_union_mask_device(
         staged, patterns, params.case_sensitive, params.whole_word
     )
     from ..engine import resolve
@@ -293,7 +301,9 @@ def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
     return SearchResult(len(positions), positions, n)
 
 
-def _search_multi_sharded(params: SearchParams, text, patterns) -> "SearchResult":
+def _search_multi_sharded(
+    params: SearchParams, text, patterns, threads: int | None = None
+) -> "SearchResult":
     """Fused K-pattern scan sharded across the device mesh (the reference's
     chunk threads sharing one read-only AC trie, krep.c:2524-2536): per-shard
     union masks + psum'd totals, host-side attribution at the sparse union
@@ -310,12 +320,15 @@ def _search_multi_sharded(params: SearchParams, text, patterns) -> "SearchResult
     )
     mc = params.max_count
     need_positions = params.track_positions and not params.count_matches_mode
+    from ..engine.search import _mesh_for_threads
+
     total, lines, union_starts = mesh.sharded_scan(
         data,
         patterns,
         case_sensitive=params.case_sensitive,
         whole_word=params.whole_word,
         want_mask=need_positions,
+        mesh=_mesh_for_threads(threads),
     )
     if params.count_lines_mode:
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
@@ -335,7 +348,9 @@ def _search_multi_sharded(params: SearchParams, text, patterns) -> "SearchResult
 SHARD_MIN_BYTES = 1 << 16
 
 
-def search_multi(params: SearchParams, text) -> "SearchResult":
+def search_multi(
+    params: SearchParams, text, threads: int | None = None
+) -> "SearchResult":
     from ..engine.search import LONG_PATTERN, SLAB_BYTES, SearchResult, _EMPTY_POS
 
     n = len(text)
@@ -347,8 +362,16 @@ def search_multi(params: SearchParams, text) -> "SearchResult":
 
     import jax
 
-    if jax.device_count() > 1 and n >= SHARD_MIN_BYTES and len(patterns) <= FUSED_MAX:
-        return _search_multi_sharded(params, text, patterns)
+    if (
+        jax.device_count() > 1
+        and n >= SHARD_MIN_BYTES
+        and len(patterns) <= FUSED_MAX
+        and threads != 1
+    ):
+        # -t shapes the shard count like the reference's chunk threads
+        # (applies to the AC path too, krep.c:2524-2536); -t 1 forces the
+        # single-device path (inline single-chunk run, krep.c:2764)
+        return _search_multi_sharded(params, text, patterns, threads)
     if len(patterns) > FUSED_MAX:
         from . import dfa
 

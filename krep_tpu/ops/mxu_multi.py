@@ -91,7 +91,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                  seg_per_step: int = SEG_PER_STEP, want_mask: bool = False):
     SPS = seg_per_step
     def kernel(tl_ref, g_ref, nb_ref, len_ref, bm_ref, main_ref, halo_ref,
-               count_ref, *rest, halo_jmax: int):
+               count_ref, *rest):
         if want_mask:
             mask_ref, scratch = rest
         else:
@@ -105,17 +105,10 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             scratch[0] = 0
 
         true_len = tl_ref[0]
-        # the halo block is 8 segment rows at a saturated offset (the staged
-        # zero region is only 1 segment); select the row that actually
-        # follows this block's last segment
-        j_used = jnp.minimum((i + 1) * (SPS // 8), halo_jmax)
-        idx_in_block = (i + 1) * SPS - 8 * j_used
-        hrow = jax.lax.broadcasted_iota(jnp.int32, (8, SEG_WORDS), 0)
-        hbits = jax.lax.bitcast_convert_type(halo_ref[:], jnp.int32)
-        hsel = jnp.sum(
-            jnp.where(hrow == idx_in_block, hbits, 0), axis=0, keepdims=True
-        )
-        hsel = jax.lax.bitcast_convert_type(hsel, jnp.uint32)
+        # the 8-row halo block starts exactly at the segment following this
+        # block (sps is a multiple of 8); only its row 0 is meaningful —
+        # the rest may be block-overrun garbage past the array end
+        hsel = halo_ref[0:1]
         buf = jnp.concatenate([main_ref[:], hsel], axis=0)
         if not case_sensitive:
             buf = swar_fold(buf)
@@ -255,10 +248,6 @@ def scan_count(
     sps = SEG_PER_STEP if n_seg_main % SEG_PER_STEP == 0 else 16
     assert n_seg_main % sps == 0, "bucket too small for MXU scan"
     T = n_seg_main // sps
-    # last halo block starts AT the zero segment (row n_seg_main); it
-    # overruns the array by 7 rows — Pallas permits the overrun, and the
-    # kernel's row-select only ever reads row 0 of that block
-    halo_jmax = n_seg_main // 8
 
     G, negbias, lens, bitmask = build_tables(patterns, case_sensitive)
     n_rows2 = G.shape[0]
@@ -286,7 +275,10 @@ def scan_count(
             pl.BlockSpec(
                 (8, SEG_WORDS),
                 lambda i, t: (
-                    jnp.minimum((i + 1) * (sps // 8), halo_jmax),
+                    # last block starts AT the zero segment and overruns
+                    # the array by 7 rows — Pallas permits the overrun,
+                    # and the kernel reads only row 0 of this block
+                    (i + 1) * (sps // 8),
                     0,
                 ),
                 memory_space=pltpu.VMEM,
@@ -309,10 +301,7 @@ def scan_count(
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    kernel = functools.partial(
-        _make_kernel(n_rows2, case_sensitive, strict, sps, want_mask),
-        halo_jmax=halo_jmax,
-    )
+    kernel = _make_kernel(n_rows2, case_sensitive, strict, sps, want_mask)
     out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
     if want_mask:
         out_shape.append(

@@ -182,7 +182,8 @@ def test_max_count_invalid_values_warn_like_reference(tmp_path):
     values warn on stderr and are IGNORED (no abort)."""
     f = tmp_path / "t.txt"
     f.write_text("the cat\nthe dog the bird\nno match\n")
-    for mval in ("18446744073709551615", "abc", "-3", ""):
+    for mval in ("18446744073709551615", "abc", "-3", "",
+                 "1_0", "5 ", " 5", "+5", "\u0665"):
         args = ["-c", "-m", mval, "the", str(f)]
         want, wrc = oracle.run(args)
         out = io.BytesIO()

@@ -226,3 +226,19 @@ def test_threads_flag_shapes_mesh():
     pos = [sm.search_string(p2, text, threads=t).positions[:, 0].tolist()
            for t in [1, 3, 8]]
     assert pos[0] == pos[1] == pos[2] == want
+
+
+def test_threads_flag_multi_pattern():
+    """-t caps the mesh for the AC/multi-pattern path too (the reference's
+    chunk threads share one AC trie, krep.c:2524-2536)."""
+    from krep_tpu import SearchParams
+    from krep_tpu.engine import search as sm
+
+    _need_devices(8)
+
+    text = naive.gen_english(23, 150_000)
+    pats = (b"the", b"and", b"of")
+    want = sum(len(naive.all_starts(text, p)) for p in pats)
+    for t in [None, 1, 3, 8]:
+        p = SearchParams(patterns=pats, count_mode=True, only_matching=True)
+        assert sm.search_string(p, text, threads=t).count == want, t
