@@ -625,21 +625,30 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
     return kernel
 
 
-def _pick_tile(R4: int, n_patterns: int = 1) -> int:
-    # 1024 u32-rows (512 KiB of text) measured fastest on v5e: grid-step
-    # overhead (~1.5-2 us/step) dominates below that; 2048 regresses 4x
+def _pick_tile(R4: int, n_patterns: int = 1, light: bool = False) -> int:
+    # light = no mask output and no whole-word (fewest live VMEM arrays).
+    # Grid-step overhead (~1.5-2 us/step) dominates below 512 KiB tiles.
     # (double buffering stops fitting in VMEM). Multi-pattern kernels keep
     # more live arrays (E-shift cache + per-pattern words), so scale down
     # with K to stay inside the 16 MiB scoped-VMEM limit.
     # (512 for K=16 measured equal throughput but ~4x the compile time;
     # keep the smaller tile beyond K=8)
     if n_patterns <= 1:
-        cap = 1024
+        # 2048 became viable (and 15% faster on the -c headline: 139 ->
+        # 160 GB/s) once the bit-packed scans cut the line-accounting
+        # VMEM; with a mask output or whole-word flag arrays the extra
+        # live buffers overflow scoped VMEM, so those keep 1024.
+        # (4096 fails to compile: double-buffered input + in-word scan
+        # arrays exceed the 16 MiB scoped-VMEM limit.)
+        cap = 2048 if light else 1024
     elif n_patterns <= 8:
         cap = 512
     else:
         cap = 256
-    for t in (1024, 512, 384, 256, 128):
+    env_cap = _os.environ.get("KREP_TPU_TILE")
+    if env_cap:
+        cap = int(env_cap)
+    for t in (4096, 2048, 1024, 512, 384, 256, 128):
         if t <= cap and R4 % t == 0:
             return t
     return R4
@@ -684,7 +693,8 @@ def _scan_raw(
     rows_total, lanes = text32.shape
     assert lanes == LANES
     R4 = rows_total - H4
-    tile_r = _pick_tile(R4, len(patterns))
+    light = not want_mask and not whole_word
+    tile_r = _pick_tile(R4, len(patterns), light)
     T = R4 // tile_r
     # Patterns beyond 64 bytes would unroll into hundreds of shifted-word
     # temporaries (Mosaic stack-allocates them in VMEM); callers route long

@@ -130,3 +130,42 @@ def test_fuzz_large_text_parity(seed):
             assert rc == wrc, (seed, args)
     finally:
         os.unlink(path)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_many_patterns_parity(seed):
+    """Large -f pattern sets (the MXU/dfa routes) vs the oracle: counts,
+    positions, -c, -i, -w across 32..80 patterns."""
+    rng = np.random.default_rng(9100 + seed)
+    alpha = np.frombuffer(b"the quick brown fox_ jumps\n", np.uint8)
+    n = int(rng.integers(20_000, 120_000))
+    text = rng.choice(alpha, size=n).tobytes()
+    k = int(rng.choice([32, 40, 64, 80]))
+    pats = []
+    while len(pats) < k:
+        m = int(rng.integers(1, 10))
+        s = int(rng.integers(0, n - m))
+        p = text[s : s + m].replace(b"\n", b"x").replace(b"\x00", b"y")
+        if p and p not in pats:
+            pats.append(p)
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    patfile = tempfile.NamedTemporaryFile(suffix=".pats", delete=False)
+    patfile.write(b"\n".join(pats))
+    patfile.close()
+    flag_sets = [["-c", "-o"], ["-c"], ["-o"], ["-c", "-o", "-i"],
+                 ["-c", "-w"], ["-o", "-m", "7"]]
+    try:
+        for flags in flag_sets:
+            args = [*flags, "-f", patfile.name, path]
+            out = io.BytesIO()
+            rc = cli.main(args, out=out)
+            want, wrc = oracle.run(args)
+            got_n = out.getvalue().replace(path.encode(), b"F")
+            want_n = want.replace(path.encode(), b"F")
+            assert got_n == want_n, (seed, k, flags, got_n[:160], want_n[:160])
+            assert rc == wrc, (seed, k, flags)
+    finally:
+        os.unlink(path)
+        os.unlink(patfile.name)
