@@ -322,6 +322,32 @@ def _search_multi_sharded(
     need_positions = params.track_positions and not params.count_matches_mode
     from ..engine.search import _mesh_for_threads
 
+    pure_count = (
+        params.count_matches_mode
+        and not need_positions
+        and not params.count_lines_mode
+    )
+    if pure_count and _mxu_eligible(patterns, params.whole_word):
+        m = _mesh_for_threads(threads)
+        if (
+            m.devices.flat[0].platform != "cpu"
+            and dispatch.backend_name() == "swar"
+        ):
+            # MXU bit-matmul per shard — the multi-chip route for large-K
+            # pure counting (any K, unlike the fused-pass FUSED_MAX cap)
+            total = mesh.sharded_count(
+                data, patterns, case_sensitive=params.case_sensitive, mesh=m
+            )
+            return SearchResult(
+                min(total, mc) if mc is not None else total, _EMPTY_POS, n
+            )
+    if len(patterns) > FUSED_MAX:
+        # only the MXU pure-count path shards beyond FUSED_MAX; anything
+        # else at this K runs the single-chip grouped route
+        from . import dfa
+
+        return dfa.search_dfa(params, text)
+
     total, lines, union_starts = mesh.sharded_scan(
         data,
         patterns,
@@ -365,8 +391,17 @@ def search_multi(
     if (
         jax.device_count() > 1
         and n >= SHARD_MIN_BYTES
-        and len(patterns) <= FUSED_MAX
         and threads != 1
+        and (
+            len(patterns) <= FUSED_MAX
+            # pure counting shards at ANY K via the per-shard MXU kernel
+            or (
+                params.count_matches_mode
+                and not (params.track_positions and not params.count_matches_mode)
+                and not params.count_lines_mode
+                and _mxu_eligible(patterns, params.whole_word)
+            )
+        )
     ):
         # -t shapes the shard count like the reference's chunk threads
         # (applies to the AC path too, krep.c:2524-2536); -t 1 forces the

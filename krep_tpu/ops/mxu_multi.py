@@ -88,7 +88,8 @@ def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
 
 
 def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
-                 seg_per_step: int = SEG_PER_STEP, want_mask: bool = False):
+                 seg_per_step: int = SEG_PER_STEP, want_mask: bool = False,
+                 has_limit: bool = False):
     SPS = seg_per_step
     def kernel(tl_ref, g_ref, nb_ref, len_ref, bm_ref, main_ref, halo_ref,
                count_ref, *rest):
@@ -118,7 +119,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         bitmask = bm_ref[:]
 
         Kp = n_rows2 // 4
-        if strict:
+        if strict or has_limit:
             r2idx = jax.lax.broadcasted_iota(
                 jnp.int32, (n_rows2, SEG_WORDS), 0
             )
@@ -126,6 +127,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                 jnp.int32, (n_rows2, SEG_WORDS), 1
             )
             phase = r2idx // Kp
+            start_limit = tl_ref[1] if has_limit else None
 
         # block-level word-shift arrays: E[q][r, l] = word r*SEG_WORDS+l+q
         # (aligned rolls/wheres only; row r borrows row r+1's first q words)
@@ -173,14 +175,20 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                 preferred_element_type=jnp.int32,
             )                                            # (n_rows2, SEG_WORDS)
             hits = D == negbias
-            if strict:
-                # bound match STARTS to [0, true_len - len + 1) explicitly.
-                # The default path skips this: staged padding past true_len
-                # is zero and patterns are NUL-free, so out-of-bounds
-                # windows can never reach distance 0 (see scan_count).
+            if strict or has_limit:
+                # strict: bound match STARTS to [0, true_len - len + 1)
+                # explicitly (the default path skips this: staged padding
+                # past true_len is zero and patterns are NUL-free, so
+                # out-of-bounds windows can never reach distance 0 — see
+                # scan_count). has_limit: bound starts to [0, start_limit)
+                # — the shard's OWNED region; halo bytes past it belong to
+                # the next shard (krep.c:2837-2846's chunk overlap).
                 word = (i * SPS + s) * SEG_WORDS + lane
                 start = word * 4 + phase
-                hits = hits & (start < true_len - lens + 1)
+                if strict:
+                    hits = hits & (start < true_len - lens + 1)
+                if has_limit:
+                    hits = hits & (start < start_limit)
             dcount = dcount + jnp.sum(hits.astype(jnp.int32))
             if want_mask:
                 # union mask, v1 packed layout: byte p of word w = 1 iff
@@ -214,6 +222,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 def scan_count(
     text32: jax.Array,
     true_len: jax.Array,
+    start_limit: jax.Array | None = None,
     *,
     patterns: tuple[bytes, ...],
     case_sensitive: bool = True,
@@ -231,7 +240,9 @@ def scan_count(
     a window crossing true_len can never reach Hamming distance 0 and no
     explicit start-bound mask is needed. Pass strict=True when scanning a
     buffer whose tail past true_len may hold non-zero bytes
-    (e.g. StagedText.with_len)."""
+    (e.g. StagedText.with_len). start_limit (traced scalar) additionally
+    bounds match STARTS to [0, start_limit) — the shard's owned region on
+    the mesh path (halo bytes past it belong to the next shard)."""
     if not patterns or any(
         len(p) == 0 or len(p) > MAX_LEN for p in patterns
     ):
@@ -251,7 +262,17 @@ def scan_count(
 
     G, negbias, lens, bitmask = build_tables(patterns, case_sensitive)
     n_rows2 = G.shape[0]
-    tl = jnp.stack([true_len.astype(jnp.int32)])
+    has_limit = start_limit is not None
+    tl = jnp.stack(
+        [
+            true_len.astype(jnp.int32),
+            (
+                jnp.asarray(start_limit, jnp.int32)
+                if has_limit
+                else jnp.int32(0)
+            ),
+        ]
+    )
 
     # constants load whole into VMEM; text = non-overlapping 32-segment
     # blocks + a 1-segment forward halo (the staged H4 zero rows are
@@ -301,7 +322,9 @@ def scan_count(
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    kernel = _make_kernel(n_rows2, case_sensitive, strict, sps, want_mask)
+    kernel = _make_kernel(
+        n_rows2, case_sensitive, strict, sps, want_mask, has_limit
+    )
     out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
     if want_mask:
         out_shape.append(

@@ -289,6 +289,80 @@ def _starts_from_sharded_mask(mask_dev, shard: int, D: int, use_swar: bool):
     return starts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("patterns", "case_sensitive", "mesh", "interpret"),
+)
+def _sharded_count_mxu(
+    slab, shard_len, true_len, *, patterns, case_sensitive, mesh,
+    interpret=False,
+):
+    """Per-shard MXU bit-matmul count under shard_map (ops/mxu_multi) —
+    the large-K analogue of _sharded_stats_swar for pure counting. Each
+    shard bounds match STARTS to its owned region via the kernel's
+    start_limit (the chunk-overlap contract, krep.c:2837-2846); totals
+    reduce with psum."""
+    from ..ops import mxu_multi
+
+    def per_shard(block, shard_len, true_len):
+        row = block[0]  # (S + 4096,) u8
+        d = jax.lax.axis_index("data")
+        base = d.astype(jnp.int32) * shard_len
+        owned = jnp.clip(true_len - base, 0, shard_len)
+        u32 = jax.lax.bitcast_convert_type(
+            row.reshape(-1, 4), jnp.uint32
+        ).reshape(-1, 128)
+        c = mxu_multi.scan_count(
+            u32, owned, owned, patterns=patterns,
+            case_sensitive=case_sensitive, interpret=interpret,
+        )
+        return jax.lax.psum(c, "data")[None]
+
+    from jax import shard_map
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return f(slab, shard_len, true_len)
+
+
+def sharded_count(
+    data: np.ndarray,
+    patterns,
+    *,
+    case_sensitive=True,
+    mesh: Mesh | None = None,
+    interpret=False,
+) -> int:
+    """Total ALL-overlap K-pattern match count across the mesh via the MXU
+    bit-matmul kernel (any K; patterns must satisfy ops/multi._mxu_eligible
+    — the caller routes). The multi-chip analogue of fused_count_device."""
+    patterns = tuple(patterns)
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("data",))
+    D = mesh.devices.size
+    sharding = jax.sharding.NamedSharding(mesh, P("data", None))
+    slab_np, _, shard = build_shards_staged(np.asarray(data, np.uint8), D)
+    slab = jax.device_put(slab_np, sharding)
+    from ..ops.multi import MXU_MAX_PASS
+
+    total = 0
+    for i in range(0, len(patterns), MXU_MAX_PASS):
+        g = patterns[i : i + MXU_MAX_PASS]
+        out = _sharded_count_mxu(
+            slab, jnp.int32(shard), jnp.int32(len(data)),
+            patterns=g, case_sensitive=case_sensitive, mesh=mesh,
+            interpret=interpret,
+        )
+        total += int(np.asarray(out)[0])
+    return total
+
+
 def sharded_scan(
     data: np.ndarray,
     patterns,
@@ -462,6 +536,16 @@ def dryrun(n_devices: int) -> None:
     r = _finish_longpat(p, data, cands, select_algorithm(p).policy(False))
     _, l4, _ = _naive_scan(data, longpat)
     assert r.count == l4, (r.count, l4)
+
+    # large-K pure-count step: per-shard MXU bit-matmul (interpret on a
+    # CPU mesh; Mosaic-compiled on TPU), start_limit-bounded owned regions
+    pats40 = tuple(
+        bytes(data[i : i + 2 + (i % 4)]) for i in range(0, 3 * 40, 3)
+    )
+    interp = mesh.devices.flat[0].platform == "cpu"
+    mc5 = sharded_count(np.asarray(data), pats40, mesh=mesh, interpret=interp)
+    tot5 = sum(_naive_scan(data, q)[0] for q in pats40)
+    assert mc5 == tot5, (mc5, tot5)
 
 
 def _naive_scan(data: np.ndarray, pattern: bytes, *, whole_word=False):

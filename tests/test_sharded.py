@@ -242,3 +242,26 @@ def test_threads_flag_multi_pattern():
     for t in [None, 1, 3, 8]:
         p = SearchParams(patterns=pats, count_mode=True, only_matching=True)
         assert sm.search_string(p, text, threads=t).count == want, t
+
+
+def test_sharded_mxu_count_matches_single_device():
+    """mesh.sharded_count (per-shard MXU bit-matmul, start_limit-bounded
+    owned regions) must equal the single-device total, including matches
+    spanning shard boundaries."""
+    import jax
+    from jax.sharding import Mesh
+
+    from krep_tpu.parallel import mesh as mesh_mod
+
+    _need_devices(8)
+
+    text = naive.gen_english(37, 400_000)
+    pats = tuple(
+        text[i : i + 3 + (i % 5)] for i in range(0, 3 * 40, 3)
+    )
+    want = sum(len(naive.all_starts(text, p)) for p in pats)
+    m = Mesh(np.array(jax.devices()[:8]), ("data",))
+    got = mesh_mod.sharded_count(
+        np.frombuffer(text, np.uint8), pats, mesh=m, interpret=True
+    )
+    assert got == want
