@@ -153,7 +153,13 @@ def stage_text(text: bytes | np.ndarray):
 def backend_name() -> str:
     mode = os.environ.get("KREP_TPU_BACKEND", "auto")
     if mode == "auto":
-        return "swar" if jax.default_backend() not in ("cpu",) else "xla"
+        try:
+            default = jax.default_backend()
+        except Exception:
+            # a broken default platform (e.g. libtpu client/terminal skew)
+            # must not take down CPU-mesh callers — route to the XLA path
+            return "xla"
+        return "swar" if default not in ("cpu",) else "xla"
     return mode
 
 

@@ -347,19 +347,24 @@ def sharded_count(
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
-    slab_np, _, shard = build_shards_staged(np.asarray(data, np.uint8), D)
-    slab = jax.device_put(slab_np, sharding)
     from ..ops.multi import MXU_MAX_PASS
 
-    total = 0
-    for i in range(0, len(patterns), MXU_MAX_PASS):
-        g = patterns[i : i + MXU_MAX_PASS]
-        out = _sharded_count_mxu(
-            slab, jnp.int32(shard), jnp.int32(len(data)),
-            patterns=g, case_sensitive=case_sensitive, mesh=mesh,
-            interpret=interpret,
-        )
-        total += int(np.asarray(out)[0])
+    # np scalars + default_device pin: NOTHING here may dispatch eagerly to
+    # the process default backend — in the driver's dryrun environment that
+    # backend is a libtpu client with version skew that fails on first use
+    # while the mesh lives on virtual CPU devices (MULTICHIP_r02 rc=1).
+    with jax.default_device(mesh.devices.flat[0]):
+        slab_np, _, shard = build_shards_staged(np.asarray(data, np.uint8), D)
+        slab = jax.device_put(slab_np, sharding)
+        total = 0
+        for i in range(0, len(patterns), MXU_MAX_PASS):
+            g = patterns[i : i + MXU_MAX_PASS]
+            out = _sharded_count_mxu(
+                slab, np.int32(shard), np.int32(len(data)),
+                patterns=g, case_sensitive=case_sensitive, mesh=mesh,
+                interpret=interpret,
+            )
+            total += int(np.asarray(out)[0])
     return total
 
 
@@ -395,43 +400,52 @@ def sharded_scan(
     # virtual CPU mesh while the default backend is a TPU client.
     mesh_platform = mesh.devices.flat[0].platform
     use_swar = dispatch.backend_name() == "swar" and mesh_platform != "cpu"
-    if use_swar:
-        slab_np, prev_np, shard = build_shards_staged(np.asarray(data, np.uint8), D)
-        slab = jax.device_put(slab_np, sharding)
-        prev_words = jax.device_put(prev_np, sharding)
-        out = _sharded_stats_swar(
-            slab,
-            prev_words,
-            jnp.int32(shard),
-            jnp.int32(len(data)),
-            jnp.int32(m_max),
-            patterns=patterns,
-            case_sensitive=case_sensitive,
-            whole_word=whole_word,
-            want_mask=want_mask,
-            mesh=mesh,
-        )
-    else:
-        halo = max(m_max, 2)
-        slab_np, prev_np, shard = build_shards(np.asarray(data, np.uint8), D, halo)
-        slab = jax.device_put(slab_np, sharding)
-        prev_bytes = jax.device_put(prev_np, sharding)
-        out = _sharded_stats(
-            slab,
-            prev_bytes,
-            jnp.int32(shard),
-            jnp.int32(len(data)),
-            patterns=patterns,
-            case_sensitive=case_sensitive,
-            whole_word=whole_word,
-            want_mask=want_mask,
-            mesh=mesh,
-        )
-    total, cnts, leads, trails, anys, hasnls = map(np.asarray, out[:6])
-    lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
-    starts = None
-    if want_mask:
-        starts = _starts_from_sharded_mask(out[6], shard, D, use_swar)
+    # np scalars + default_device pin: NOTHING here may dispatch eagerly to
+    # the process default backend — in the driver's dryrun environment that
+    # backend is a libtpu client with version skew that fails on first use
+    # while the mesh lives on virtual CPU devices (MULTICHIP_r02 rc=1).
+    with jax.default_device(mesh.devices.flat[0]):
+        if use_swar:
+            slab_np, prev_np, shard = build_shards_staged(
+                np.asarray(data, np.uint8), D
+            )
+            slab = jax.device_put(slab_np, sharding)
+            prev_words = jax.device_put(prev_np, sharding)
+            out = _sharded_stats_swar(
+                slab,
+                prev_words,
+                np.int32(shard),
+                np.int32(len(data)),
+                np.int32(m_max),
+                patterns=patterns,
+                case_sensitive=case_sensitive,
+                whole_word=whole_word,
+                want_mask=want_mask,
+                mesh=mesh,
+            )
+        else:
+            halo = max(m_max, 2)
+            slab_np, prev_np, shard = build_shards(
+                np.asarray(data, np.uint8), D, halo
+            )
+            slab = jax.device_put(slab_np, sharding)
+            prev_bytes = jax.device_put(prev_np, sharding)
+            out = _sharded_stats(
+                slab,
+                prev_bytes,
+                np.int32(shard),
+                np.int32(len(data)),
+                patterns=patterns,
+                case_sensitive=case_sensitive,
+                whole_word=whole_word,
+                want_mask=want_mask,
+                mesh=mesh,
+            )
+        total, cnts, leads, trails, anys, hasnls = map(np.asarray, out[:6])
+        lines = combine_line_counts(cnts, leads, trails, anys, hasnls)
+        starts = None
+        if want_mask:
+            starts = _starts_from_sharded_mask(out[6], shard, D, use_swar)
     return int(total[0]), int(lines), starts
 
 
@@ -483,6 +497,16 @@ def dryrun(n_devices: int) -> None:
     checked against a numpy-native reference."""
     devs = np.array(pick_devices(n_devices))
     mesh = Mesh(devs, ("data",))
+    # Pin the WHOLE dryrun (engine helpers included) to the mesh devices:
+    # the driver environment's default backend can be a broken libtpu
+    # client, so any eager op that falls back to it kills the run
+    # (MULTICHIP_r01/r02 rc=1). Hermeticity is enforced by
+    # tests/test_multichip_hermetic.py with a poisoned default backend.
+    with jax.default_device(mesh.devices.flat[0]):
+        _dryrun_body(mesh)
+
+
+def _dryrun_body(mesh: Mesh) -> None:
     rng = np.random.default_rng(0)
     data = np.frombuffer(
         b"the quick\nthe fox\n" * 64 + rng.bytes(512), dtype=np.uint8

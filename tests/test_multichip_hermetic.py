@@ -1,0 +1,75 @@
+"""Adversarial hermeticity test for the driver's multichip dryrun.
+
+Rounds 1 and 2 both failed the driver's `dryrun_multichip` with
+`FAILED_PRECONDITION: libtpu version mismatch`: the mesh correctly fell
+back to 8 virtual CPU devices, but eager scalar creation (`jnp.int32(...)`
+in parallel/mesh.py) dispatched to the *default* backend — a broken TPU
+client in the driver environment. The fix pins every op to the mesh
+devices (numpy scalars + `jax.default_device`).
+
+This test proves the fix adversarially: it runs the full dryrun in a
+subprocess whose default-device fallback is POISONED — any operation that
+resolves placement through `pxla.get_default_device()` without an explicit
+`jax.default_device` pin raises, exactly simulating a default backend that
+dies on first use. The dryrun must still pass end-to-end.
+
+Mirrors the reference's chunk-dispatch contract (the parallel backbone at
+/root/reference/krep.c:2851-2905) being exercisable in any host environment.
+"""
+
+import os
+import subprocess
+import sys
+
+POISON_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+
+import jax
+import jax._src.interpreters.pxla as pxla
+from jax._src import config as jconfig
+
+_orig = pxla.get_default_device
+
+def poisoned():
+    # Explicitly pinned ops (jax.default_device set) pass through; anything
+    # falling back to the process default backend dies — the simulated
+    # libtpu client/terminal version skew of MULTICHIP_r01/r02.
+    if jconfig.default_device.value is None:
+        raise RuntimeError(
+            "POISON: operation fell back to the default backend "
+            "(simulated libtpu client/terminal version skew)")
+    return _orig()
+
+pxla.get_default_device = poisoned
+
+import __graft_entry__
+__graft_entry__.dryrun_multichip(8)
+print("POISONED_DRYRUN_OK")
+"""
+
+
+def test_dryrun_survives_poisoned_default_backend(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # In the real driver env the default backend is a TPU client, so
+    # backend_name() reports "swar" while the mesh is CPU — force that
+    # routing mismatch too so the mesh-platform guard is exercised.
+    env["KREP_TPU_BACKEND"] = "swar"
+    script = tmp_path / "poison_dryrun.py"
+    script.write_text(POISON_SCRIPT.format(repo=repo))
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "POISONED_DRYRUN_OK" in proc.stdout
