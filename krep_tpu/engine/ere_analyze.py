@@ -29,7 +29,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-MAX_LITERALS = 32   # fused-scan budget (ops/multi.FUSED_MAX)
+MAX_LITERALS = 32   # analyzer's own factor-set cap (deliberately tighter
+                    # than ops/multi.FUSED_MAX=64: regex factor sets beyond
+                    # ~32 stop being selective enough to pay for the scan)
 MAX_LIT_LEN = 64    # SWAR kernel unroll budget; truncation keeps soundness
 
 
@@ -129,6 +131,13 @@ class _Parser:
                 break
             atom = self.atom()
             quant = self.quantifier()
+            if self.peek() in (0x2A, 0x2B, 0x3F, 0x7B):
+                # glibc chains quantifiers: 'a{2}{3}' is a SECOND repetition
+                # of the quantified atom (matches 'aaaaaa', verified against
+                # regcomp/regexec), not a literal '{3}'. The factor logic
+                # below assumes one quantifier per atom — bail to the exact
+                # plain path rather than silently under-matching.
+                raise _Unsupported("chained quantifier")
             lo, hi = quant  # occurrence bounds; hi = -1 for unbounded
 
             can_nl = can_nl or (atom.can_nl and hi != 0)
@@ -204,16 +213,23 @@ class _Parser:
                 raise _Unsupported("unbalanced {")
             body = self.s[self.i + 1 : j]
             parts = body.split(b",")
-            try:
-                if len(parts) == 1:
-                    lo = hi = int(parts[0])
-                elif len(parts) == 2:
-                    lo = int(parts[0]) if parts[0] else 0
-                    hi = int(parts[1]) if parts[1] else -1
-                else:
-                    raise ValueError
-            except ValueError:
-                raise _Unsupported("bad interval") from None
+
+            def bound(b: bytes) -> int:
+                # glibc accepts ASCII digits only: '{ 2 }', '{+2}', '{1_0}'
+                # are all REG_BADBR (verified) — int() must not widen that
+                if not b or not all(0x30 <= ch <= 0x39 for ch in b):
+                    raise _Unsupported("bad interval")
+                return int(b)
+
+            if len(parts) == 1:
+                lo = hi = bound(parts[0])
+            elif len(parts) == 2:
+                lo = bound(parts[0]) if parts[0] else 0
+                hi = bound(parts[1]) if parts[1] else -1
+            else:
+                raise _Unsupported("bad interval")
+            if hi != -1 and hi < lo:
+                raise _Unsupported("bad interval")  # REG_BADBR: {3,2}
             self.i = j + 1
             return (lo, hi)
         return (1, 1)
@@ -250,7 +266,10 @@ class _Parser:
             return _Atom("zero")
         if c == 0x2E:  # '.'
             return _Atom("class", can_nl=False)  # REG_NEWLINE: '.' ≠ '\n'
-        if c in (0x2A, 0x2B, 0x3F):
+        if c in (0x2A, 0x2B, 0x3F, 0x7B):
+            # glibc ERE: a quantifier (incl. '{') with no atom to repeat is
+            # REG_BADRPT ('{3}', 'a|{3}', '({3})' all fail regcomp) — '{'
+            # is never a literal byte at atom position
             raise _Unsupported("dangling quantifier")
         if c == 0x0A:
             return _Atom("lit", byte=0x0A, can_nl=True)

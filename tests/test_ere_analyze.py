@@ -82,6 +82,39 @@ def test_unsupported_bails():
         assert an(src) is None, src
 
 
+def test_chained_quantifier_bails():
+    """glibc applies a brace after a quantified atom as a SECOND repetition:
+    'a{2}{3}' matches 'aaaaaa' (verified against regcomp/regexec). Treating
+    the '{3}' as literal bytes made the filter scan for '{3}' and silently
+    return 0 — these must all fall back to the exact plain engine."""
+    for src in [b"a{2}{3}", b"a*{3}", b"(foo){2}{3}", b"a{1}{2}b",
+                b"a+{2}", b"a?{2}", b"a{2}*", b"a{2}?"]:
+        assert an(src) is None, src
+    # and a brace with no atom to repeat is REG_BADRPT, never a literal
+    for src in [b"{3}", b"a|{3}", b"({3})x"]:
+        assert an(src) is None, src
+
+
+def test_interval_grammar_matches_glibc():
+    """glibc accepts ASCII digits only inside {}: '{ 2 }', '{+2}', '{1_0}',
+    '{3,2}', '{}' are all REG_BADBR (verified against regcomp)."""
+    for src in [b"a{ 2 }", b"a{+2}", b"a{1_0}", b"a{3,2}", b"a{}"]:
+        assert an(src) is None, src
+    a = an(b"a{,3}b")  # empty lower bound IS accepted by glibc (lo=0)
+    assert a is not None and a.literals == (b"b",)
+
+
+def test_chained_quantifier_full_engine_parity():
+    """End-to-end: search_regex on 'a{2}{3}' over a filter-sized corpus must
+    match the plain loop (the old analyzer made the filtered path return 0)."""
+    filler = b"zzzz aaaaaa zzzz\n" + b"aa bb cc dd ee ff gg\n" * 63
+    text = filler * (regex_engine.REGEX_FILTER_MIN_BYTES // len(filler) + 1)
+    p = SearchParams(patterns=(b"a{2}{3}",), use_regex=True, count_mode=True)
+    r = regex_engine.search_regex(p, text, threads=1)
+    r_seq = regex_engine._search_regex_seq(p, text)
+    assert r.count == r_seq.count and r.count > 0
+
+
 def _filtered_vs_seq(text: bytes, src: bytes, **kw):
     """The filtered path and the plain loop must agree bit-exactly."""
     p = SearchParams(patterns=(src,), use_regex=True, **kw)
