@@ -219,6 +219,8 @@ def _search_single_literal_slabbed(
             staged.u32,
             jnp.int32(tl),
             jnp.int32(prev),
+            jnp.int32(owned),  # line accounting stops at the owned region:
+            # halo newlines belong to the NEXT slab (mesh-path contract)
             pattern=params.pattern,
             case_sensitive=params.case_sensitive,
             whole_word=params.whole_word,

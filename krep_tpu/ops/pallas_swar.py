@@ -829,6 +829,7 @@ def scan_shard(
     text32: jax.Array,
     true_len: jax.Array,
     prev_word: jax.Array,
+    start_limit: jax.Array | None = None,
     *,
     pattern: bytes,
     case_sensitive: bool = True,
@@ -836,9 +837,18 @@ def scan_shard(
     want_mask: bool = False,
     interpret: bool = False,
 ):
-    """Single-pattern scan_shard_multi (the slab loop's kernel)."""
+    """Single-pattern scan_shard_multi (the slab loop's kernel).
+
+    start_limit must be the slab's OWNED byte count: newlines in the
+    (m-1)-byte halo belong to the NEXT slab's line accounting — counting
+    them here makes trail=0 after a halo newline while the next slab
+    reports lead=1 for the same line, double-counting a boundary-spanning
+    matched line in -c mode (matches for a pattern containing '\\n').
+    Defaults to true_len only for halo-less single-shot scans."""
+    if start_limit is None:
+        start_limit = true_len
     return scan_shard_multi(
-        text32, true_len, prev_word, true_len,
+        text32, true_len, prev_word, start_limit,
         patterns=(pattern,), case_sensitive=case_sensitive,
         whole_word=whole_word, want_mask=want_mask, interpret=interpret,
     )
