@@ -131,26 +131,44 @@ def iter_files(
     yield from _walk(base_dir, use_gitignore, _parent_gi, [0])
 
 
-def _walk(base_dir, use_gitignore, parent_gi, err_acc):
+def _open_dir(path, use_gitignore, parent_gi, err_acc):
+    """One directory level: list entries + resolve the gitignore chain.
+    Returns (entry_iterator, gitignore) or None when the level is skipped
+    (reference error policy at krep.c:3317-3327)."""
     try:
-        entries = list(os.scandir(base_dir))
+        entries = list(os.scandir(path))
     except PermissionError:
-        sys.stderr.write(f"krep: {base_dir}: Permission denied\n")
-        return
+        sys.stderr.write(f"krep: {path}: Permission denied\n")
+        return None
     except FileNotFoundError:
-        return
+        return None
     except OSError as e:
-        sys.stderr.write(f"krep: {base_dir}: {e.strerror}\n")
+        sys.stderr.write(f"krep: {path}: {e.strerror}\n")
         err_acc[0] += 1
-        return
-
+        return None
     gi = parent_gi
     if use_gitignore:
-        local = Gitignore.load(base_dir, parent_gi)
+        local = Gitignore.load(path, parent_gi)
         if local is not None:
             gi = local
+    return iter(entries), gi
 
-    for entry in entries:
+
+def _walk(base_dir, use_gitignore, parent_gi, err_acc):
+    """Depth-first walk with an EXPLICIT frame stack (not Python recursion):
+    the reference's C recursion (krep.c:3310-3445) survives kernel-deep
+    trees, and a recursive generator here would die at the interpreter
+    recursion limit (~1000 frames) long before PATH_MAX does."""
+    frame = _open_dir(base_dir, use_gitignore, parent_gi, err_acc)
+    if frame is None:
+        return
+    stack = [frame]
+    while stack:
+        it, gi = stack[-1]
+        entry = next(it, None)
+        if entry is None:
+            stack.pop()
+            continue
         name = entry.name
         try:
             st = entry.stat(follow_symlinks=False)
@@ -165,7 +183,9 @@ def _walk(base_dir, use_gitignore, parent_gi, err_acc):
                 continue
             if gi is not None and gi.is_ignored(name, True):
                 continue
-            yield from _walk(entry.path, use_gitignore, gi, err_acc)
+            sub = _open_dir(entry.path, use_gitignore, gi, err_acc)
+            if sub is not None:
+                stack.append(sub)
         elif stat_mod.S_ISREG(st.st_mode):
             if should_skip_extension(name):
                 continue
