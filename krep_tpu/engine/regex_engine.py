@@ -30,6 +30,7 @@ REG_EXTENDED = 1
 REG_ICASE = 2
 REG_NEWLINE = 4
 REG_NOTBOL = 1
+REG_NOTEOL = 2
 REG_STARTEND = 4
 REG_NOMATCH = 1
 
@@ -143,6 +144,13 @@ REGEX_FILTER_MIN_BYTES = int(
 )
 
 
+def _strict() -> bool:
+    """KREP_TPU_STRICT=1 turns fast-path fallbacks into hard failures so a
+    broken filter/parallel path can never hide behind the plain engine —
+    the test suite runs with it on."""
+    return os.environ.get("KREP_TPU_STRICT", "") == "1"
+
+
 def search_regex(params: SearchParams, text,
                  threads: int | None = None) -> "SearchResult":
     from . import ere_analyze
@@ -169,8 +177,12 @@ def search_regex(params: SearchParams, text,
             r = _search_regex_filtered(params, data, analysis.literals)
             if r is not None:
                 return r
+        except RegexError:
+            raise  # glibc compile errors surface identically on every path
         except Exception:
-            pass  # any filter failure falls back to the plain engine
+            if _strict():
+                raise
+            # device/backend failure only: the exact plain path still answers
 
     can_parallel = (
         n >= PARALLEL_MIN_BYTES
@@ -182,8 +194,12 @@ def search_regex(params: SearchParams, text,
     if can_parallel:
         try:
             return _search_regex_parallel(params, data, threads)
+        except RegexError:
+            raise
         except Exception:
-            pass  # fall back to sequential on any pool failure
+            if _strict():
+                raise
+            # pool/fork failure only: sequential still answers
     return _search_regex_seq(params, data)
 
 
@@ -268,10 +284,13 @@ def _candidate_line_ranges(arr: np.ndarray, starts: np.ndarray):
     return np.stack([ls, le], axis=1)
 
 
-def _search_regex_filtered(params: SearchParams, data: bytes, literals):
+def _search_regex_filtered(params: SearchParams, data: bytes, literals,
+                           force_python: bool = False):
     """Device literal prefilter + exact regexec over candidate lines only.
     Returns None when the candidate set is too dense to pay off (caller
-    falls back to the parallel/sequential full-text engines)."""
+    falls back to the parallel/sequential full-text engines).
+    force_python skips the native C ranges loop — used by tests to pin the
+    ctypes fallback against it."""
     from .search import SearchResult, _EMPTY_POS
 
     n = len(data)
@@ -297,6 +316,8 @@ def _search_regex_filtered(params: SearchParams, data: bytes, literals):
         from ..native import runtime as _native
     except Exception:
         _native = None
+    if force_python:
+        _native = None
     if _native is not None:
         count, positions = _native.regex_search_ranges(
             src, data, ranges, cflags,
@@ -320,13 +341,21 @@ def _ranges_loop_python(src, cflags, data: bytes, ranges, params, max_count):
     base = ctypes.addressof(cbuf)
     count = 0
     positions: list[tuple[int, int]] = []
+    icase = bool(cflags & REG_ICASE)
     for ls, le in ranges.tolist():
         if count >= max_count:
             break
         cur = ls
+        # -i NOTEOL quirk: only at the true text end (the reference's
+        # window always runs to text_len, so '$' before a '\n' at le < n
+        # is unaffected) — see krep_regex_search_ranges in runtime.c
+        noteol = REG_NOTEOL if (icase and le == n) else 0
         while cur < le:
             at_line_start = cur == 0 or data[cur - 1] == 0x0A
-            hit = rx.exec_at(base, cur, le - cur, 0 if at_line_start else REG_NOTBOL)
+            hit = rx.exec_at(
+                base, cur, le - cur,
+                noteol | (0 if at_line_start else REG_NOTBOL),
+            )
             if hit is None:
                 break
             so, eo = hit
@@ -461,10 +490,14 @@ def _search_regex_seq(
     cur = 0
     last_line = -1
     positions: list[tuple[int, int]] = []
+    # Reference quirk (krep.c:1420): the CFLAG REG_ICASE (2) leaks into
+    # eflags where 2 is REG_NOTEOL, so under -i '$' never matches at the
+    # absolute text end (verified against the binary).
+    icase_noteol = 0 if params.case_sensitive else REG_NOTEOL
     while cur < n or (cur == 0 and n == 0):
         rem = n - cur
         at_line_start = cur == 0 or data[cur - 1] == 0x0A
-        eflags = 0 if at_line_start else REG_NOTBOL
+        eflags = icase_noteol | (0 if at_line_start else REG_NOTBOL)
         hit = rx.exec_at(base, cur, rem, eflags)
         if hit is None:
             break

@@ -123,12 +123,20 @@ int64_t krep_regex_search(const char *pattern_z, const char *text,
         return count;
     }
 
+    /* Reference quirk (krep.c:1420): base_eflags mixes the CFLAG
+     * REG_ICASE (2) into eflags, where 2 is REG_NOTEOL — so under -i the
+     * reference suppresses '$' at the absolute end of text (verified
+     * against the binary: 'c$' -i does not match "abc" without a trailing
+     * newline). Byte parity requires cloning it. */
+    int icase_noteol = (cflags & REG_ICASE) ? REG_NOTEOL : 0;
+
     while (cur < text_len) {
         regmatch_t pm;
         pm.rm_so = 0;
         pm.rm_eo = (regoff_t)(text_len - cur);
         int at_line_start = (cur == 0) || (text[cur - 1] == '\n');
-        int eflags = REG_STARTEND | (at_line_start ? 0 : REG_NOTBOL);
+        int eflags = REG_STARTEND | icase_noteol |
+                     (at_line_start ? 0 : REG_NOTBOL);
         int rc = regexec(&rx, text + cur, 1, &pm, eflags);
         if (rc == REG_NOMATCH)
             break;
@@ -226,6 +234,13 @@ int64_t krep_regex_search_ranges(const char *pattern_z, const char *text,
         if (ls < 0 || le > text_len || ls > le)
             continue;
         int64_t cur = ls;
+        /* -i REG_NOTEOL quirk (see krep_regex_search): the reference's
+         * window always ends at text_len, so NOTEOL only bites at the true
+         * text end — for a range window that stops at a '\n' (le < n),
+         * '$' still matches at the window end like it would before that
+         * '\n' in the full loop, so NOTEOL must NOT be applied there. */
+        int icase_noteol =
+            ((cflags & REG_ICASE) && le == text_len) ? REG_NOTEOL : 0;
         while (cur < le) {
             regmatch_t pm;
             pm.rm_so = 0;
@@ -233,7 +248,8 @@ int64_t krep_regex_search_ranges(const char *pattern_z, const char *text,
             /* ls is a line start by construction, so NOTBOL exactly when
              * mid-line — same as the full-buffer loop (krep.c:1432-1434) */
             int at_line_start = (cur == 0) || (text[cur - 1] == '\n');
-            int eflags = REG_STARTEND | (at_line_start ? 0 : REG_NOTBOL);
+            int eflags = REG_STARTEND | icase_noteol |
+                         (at_line_start ? 0 : REG_NOTBOL);
             int rc = regexec(&rx, text + cur, 1, &pm, eflags);
             if (rc == REG_NOMATCH)
                 break;

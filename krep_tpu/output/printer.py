@@ -51,6 +51,18 @@ def print_only_matching(
     """-o mode: [FILE:]LINENO:MATCH per match (krep.c:517-793)."""
     buf = _as_bytes(text)
     nl = newline_positions(buf)
+    if len(positions):
+        # the reference skips matches starting at/after text end (a
+        # zero-length regex match after the final '\n') and clamps ends
+        # (krep.c:609-615) — skipped matches don't count toward -m
+        valid = (positions[:, 0] < buf.shape[0]) & (
+            positions[:, 0] <= positions[:, 1]
+        )
+        if not valid.all():
+            positions = positions[valid]
+        if positions[:, 1].max(initial=0) > buf.shape[0]:
+            positions = positions.copy()
+            np.minimum(positions[:, 1], buf.shape[0], out=positions[:, 1])
     if max_count is not None:
         positions = positions[:max_count]
     if len(positions) == 0:
@@ -265,6 +277,11 @@ def print_matching_lines(
     buf = _as_bytes(text)
     n = buf.shape[0]
     nl = newline_positions(buf)
+    if len(positions):
+        # skip matches starting at/after text end (krep.c:851-855)
+        valid = positions[:, 0] < n
+        if not valid.all():
+            positions = positions[valid]
     if len(positions) == 0:
         return
     starts = positions[:, 0]

@@ -8,6 +8,11 @@ Mosaic-compiled kernels match the interpret-mode semantics)."""
 
 import os
 
+# Strict mode: fast-path fallbacks (regex device filter, fork pool) become
+# hard failures in tests so a broken fast path can never hide behind the
+# plain engine (engine/regex_engine._strict).
+os.environ.setdefault("KREP_TPU_STRICT", "1")
+
 if os.environ.get("KREP_TPU_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")
