@@ -51,10 +51,12 @@ def print_only_matching(
     """-o mode: [FILE:]LINENO:MATCH per match (krep.c:517-793)."""
     buf = _as_bytes(text)
     nl = newline_positions(buf)
-    if len(positions):
+    if len(positions) and buf.shape[0] > 0:
         # the reference skips matches starting at/after text end (a
         # zero-length regex match after the final '\n') and clamps ends
-        # (krep.c:609-615) — skipped matches don't count toward -m
+        # (krep.c:609-615) — skipped matches don't count toward -m.
+        # n == 0 is exempt: the empty-file special case (krep.c:2419-2513)
+        # prints its [0,0] match as an empty record.
         valid = (positions[:, 0] < buf.shape[0]) & (
             positions[:, 0] <= positions[:, 1]
         )
@@ -277,8 +279,10 @@ def print_matching_lines(
     buf = _as_bytes(text)
     n = buf.shape[0]
     nl = newline_positions(buf)
-    if len(positions):
-        # skip matches starting at/after text end (krep.c:851-855)
+    if len(positions) and n > 0:
+        # skip matches starting at/after text end (krep.c:851-855); n == 0
+        # is exempt — the empty-file special case (krep.c:2419-2513)
+        # prints its [0,0] match as an empty record
         valid = positions[:, 0] < n
         if not valid.all():
             positions = positions[valid]
