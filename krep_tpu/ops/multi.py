@@ -341,30 +341,95 @@ def _search_multi_sharded(
             return SearchResult(
                 min(total, mc) if mc is not None else total, _EMPTY_POS, n
             )
-    if len(patterns) > FUSED_MAX:
-        # only the MXU pure-count path shards beyond FUSED_MAX; anything
-        # else at this K runs the single-chip grouped route
-        from . import dfa
+    from ..engine.search import LONG_PATTERN
 
-        return dfa.search_dfa(params, text)
+    shorts = tuple(p for p in patterns if len(p) <= LONG_PATTERN)
+    longs = tuple(p for p in patterns if len(p) > LONG_PATTERN)
+    m = _mesh_for_threads(threads)
 
-    total, lines, union_starts = mesh.sharded_scan(
-        data,
-        patterns,
-        case_sensitive=params.case_sensitive,
-        whole_word=params.whole_word,
-        want_mask=need_positions,
-        mesh=_mesh_for_threads(threads),
+    if not longs and len(shorts) <= FUSED_MAX:
+        # single fused group: exact in-mesh line accounting, no host pass
+        total, lines, union_starts = mesh.sharded_scan(
+            data,
+            patterns,
+            case_sensitive=params.case_sensitive,
+            whole_word=params.whole_word,
+            want_mask=need_positions,
+            mesh=m,
+        )
+        if params.count_lines_mode:
+            return SearchResult(
+                min(lines, mc) if mc is not None else lines, _EMPTY_POS, n
+            )
+        if not need_positions:
+            return SearchResult(
+                min(total, mc) if mc is not None else total, _EMPTY_POS, n
+            )
+        starts, ends = resolve.attribute_patterns(
+            data, union_starts, patterns,
+            case_sensitive=params.case_sensitive, whole_word=params.whole_word,
+            anchor="start",
+        )
+        positions = resolve.ac_order_truncate(starts, ends, mc)
+        if params.count_matches_mode or not params.track_positions:
+            return SearchResult(len(positions), _EMPTY_POS, n)
+        return SearchResult(len(positions), positions, n)
+
+    # Grouped mesh route for everything else (VERDICT r2 item 6): any K,
+    # whole-word sets, >64-byte members — FUSED_MAX-sized groups of shorts
+    # (and of long-member PREFIXES, a superset filter) each scan sharded
+    # across the mesh; the sparse union of candidate starts is attributed
+    # and verified host-side, exactly like the single-chip mixed path
+    # (the reference parallelizes AC for every mode, krep.c:2524-2536).
+    pure_count = not need_positions and not params.count_lines_mode
+    if pure_count and not longs:
+        # group totals add exactly (groups partition the pattern set and
+        # AC's total is the sum of per-pattern ALL counts)
+        total = 0
+        for i in range(0, len(shorts), FUSED_MAX):
+            g = shorts[i : i + FUSED_MAX]
+            t, _, _ = mesh.sharded_scan(
+                data, g, case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word, want_mask=False, mesh=m,
+            )
+            total += t
+        return SearchResult(
+            min(total, mc) if mc is not None else total, _EMPTY_POS, n
+        )
+
+    anchor_parts = []
+    for i in range(0, len(shorts), FUSED_MAX):
+        g = shorts[i : i + FUSED_MAX]
+        _, _, st = mesh.sharded_scan(
+            data, g, case_sensitive=params.case_sensitive,
+            whole_word=params.whole_word, want_mask=True, mesh=m,
+        )
+        anchor_parts.append(st)
+    for i in range(0, len(longs), FUSED_MAX):
+        # prefixes scan without whole-word (the after-check at a prefix end
+        # is meaningless); host attribution enforces exact boundaries
+        g = tuple(p[:LONG_PATTERN] for p in longs[i : i + FUSED_MAX])
+        _, _, st = mesh.sharded_scan(
+            data, g, case_sensitive=params.case_sensitive,
+            whole_word=False, want_mask=True, mesh=m,
+        )
+        anchor_parts.append(st)
+    anchors = (
+        np.unique(np.concatenate(anchor_parts))
+        if anchor_parts
+        else np.zeros(0, np.int64)
     )
-    if params.count_lines_mode:
-        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
-    if not need_positions:
-        return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
     starts, ends = resolve.attribute_patterns(
-        data, union_starts, patterns,
+        data, anchors, patterns,
         case_sensitive=params.case_sensitive, whole_word=params.whole_word,
         anchor="start",
     )
+    if params.count_lines_mode:
+        nl = resolve.newline_positions_host(data)
+        lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
+        return SearchResult(
+            min(lines, mc) if mc is not None else lines, _EMPTY_POS, n
+        )
     positions = resolve.ac_order_truncate(starts, ends, mc)
     if params.count_matches_mode or not params.track_positions:
         return SearchResult(len(positions), _EMPTY_POS, n)
@@ -383,30 +448,26 @@ def search_multi(
     patterns = tuple(p for p in params.patterns if len(p) > 0)
     if not patterns or n == 0:
         return SearchResult(0, _EMPTY_POS, n)
-    if any(len(p) > LONG_PATTERN for p in patterns) or n > SLAB_BYTES:
-        return _search_multi_mixed(params, text, patterns)
 
     import jax
 
+    D = jax.device_count()
+    eff_d = D if threads is None else max(1, min(threads, D))
+    per_shard = -(-n // eff_d)
     if (
-        jax.device_count() > 1
+        D > 1
         and n >= SHARD_MIN_BYTES
         and threads != 1
-        and (
-            len(patterns) <= FUSED_MAX
-            # pure counting shards at ANY K via the per-shard MXU kernel
-            or (
-                params.count_matches_mode
-                and not (params.track_positions and not params.count_matches_mode)
-                and not params.count_lines_mode
-                and _mxu_eligible(patterns, params.whole_word)
-            )
-        )
+        and per_shard <= SLAB_BYTES
     ):
         # -t shapes the shard count like the reference's chunk threads
         # (applies to the AC path too, krep.c:2524-2536); -t 1 forces the
-        # single-device path (inline single-chunk run, krep.c:2764)
+        # single-device path (inline single-chunk run, krep.c:2764).
+        # Every mode shards: fused groups at any K, long members via
+        # prefix groups, pure-count large-K via the per-shard MXU kernel.
         return _search_multi_sharded(params, text, patterns, threads)
+    if any(len(p) > LONG_PATTERN for p in patterns) or n > SLAB_BYTES:
+        return _search_multi_mixed(params, text, patterns)
     if len(patterns) > FUSED_MAX:
         from . import dfa
 

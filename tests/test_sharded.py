@@ -265,3 +265,94 @@ def test_sharded_mxu_count_matches_single_device():
         np.frombuffer(text, np.uint8), pats, mesh=m, interpret=True
     )
     assert got == want
+
+
+def _gen_patterns(text, k, seed, min_len=2, max_len=10):
+    """k distinct corpus-derived patterns (mostly hitting)."""
+    rng = np.random.default_rng(seed)
+    n = len(text)
+    pats = []
+    while len(pats) < k:
+        m = int(rng.integers(min_len, max_len))
+        s = int(rng.integers(0, n - m))
+        p = text[s : s + m].replace(b"\n", b"x").replace(b"\x00", b"y")
+        if p and p not in pats:
+            pats.append(p)
+    return tuple(pats)
+
+
+def test_sharded_large_k_positions_1_vs_8():
+    """VERDICT r2 item 6: K=128 POSITION queries shard across the mesh via
+    grouped fused scans + host attribution; 8-device output must be
+    byte-exact with the single-device path (threads=1), every mode."""
+    from krep_tpu import SearchParams, search_string
+
+    _need_devices(8)
+
+    text = naive.gen_english(21, 150_000)
+    pats = _gen_patterns(text, 128, seed=5)
+    for mode in [
+        {"only_matching": True},
+        {"only_matching": True, "max_count": 23},
+        {},
+        {"count_mode": True},
+        {"count_mode": True, "only_matching": True},
+    ]:
+        p = SearchParams(patterns=pats, **mode)
+        r8 = search_string(p, text)            # grouped sharded route
+        r1 = search_string(p, text, threads=1)  # single-device route
+        assert r8.count == r1.count, mode
+        assert np.array_equal(r8.positions, r1.positions), mode
+
+
+def test_sharded_whole_word_large_k():
+    """Whole-word sets beyond FUSED_MAX shard via grouped scans; the host
+    attribution enforces exact word boundaries."""
+    from krep_tpu import SearchParams, search_string
+
+    _need_devices(8)
+
+    text = naive.gen_english(22, 100_000)
+    pats = _gen_patterns(text, 80, seed=9, min_len=3, max_len=7)
+    p = SearchParams(patterns=pats, whole_word=True, only_matching=True)
+    r8 = search_string(p, text)
+    r1 = search_string(p, text, threads=1)
+    assert r8.count == r1.count
+    assert np.array_equal(r8.positions, r1.positions)
+    # spot-check against naive union semantics
+    want = []
+    for pk in set(pats):
+        want += [(s, s + len(pk)) for s in naive.all_starts(text, pk, whole_word=True)]
+    want = sorted(want)
+    assert [tuple(row) for row in r8.positions.tolist()] == want
+
+
+def test_sharded_mixed_long_members():
+    """A set mixing short members and a >64-byte member takes the grouped
+    sharded route (long member scanned by prefix, verified host-side)."""
+    from krep_tpu import SearchParams, search_string
+
+    _need_devices(8)
+
+    longpat = bytes(range(33, 123))  # 90 bytes
+    body = bytearray(naive.gen_english(23, 120_000))
+    body[10_000 : 10_090] = longpat
+    body[63_960 : 64_050] = longpat  # straddles the 8-way shard boundary
+    text = bytes(body)
+    pats = (longpat, b"the", b"fox")
+    for mode in [
+        {"only_matching": True},
+        {"count_mode": True},
+        {"count_mode": True, "only_matching": True},
+    ]:
+        p = SearchParams(patterns=pats, **mode)
+        r8 = search_string(p, text)
+        r1 = search_string(p, text, threads=1)
+        assert r8.count == r1.count, mode
+        assert np.array_equal(r8.positions, r1.positions), mode
+    want = []
+    for pk in pats:
+        want += [(s, s + len(pk)) for s in naive.all_starts(text, pk)]
+    want.sort()
+    p = SearchParams(patterns=pats, only_matching=True)
+    assert [tuple(row) for row in search_string(p, text).positions.tolist()] == want
