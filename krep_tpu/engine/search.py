@@ -45,8 +45,10 @@ class SearchResult:
 _EMPTY_POS = np.zeros((0, 2), dtype=np.int64)
 
 
-def _device_scan_literal(staged, pattern, params, want_mask, want_lines=False):
-    """Run the fused device scan; returns (all_count, line_count, starts)."""
+def _device_scan_literal(staged, pattern, params, want_mask, want_lines=False,
+                         want_count=True):
+    """Run the fused device scan; returns (all_count, line_count, starts).
+    want_count=False lets -c skip the match-count popcount (count reads 0)."""
     from ..ops import dispatch
 
     count, lines, mask = dispatch.scan_literal_staged(
@@ -56,6 +58,7 @@ def _device_scan_literal(staged, pattern, params, want_mask, want_lines=False):
         whole_word=params.whole_word,
         want_mask=want_mask,
         want_lines=want_lines,
+        want_count=want_count,
     )
     starts = None
     if want_mask:
@@ -155,8 +158,14 @@ def _search_single_literal_slabbed(
     that already yields max_count matches is exact."""
     import jax.numpy as jnp
 
-    from ..ops import dispatch, pallas_swar
+    from ..ops import dispatch, literal
     from ..parallel.mesh import LineCountCombiner, _is_word_byte
+
+    # interpret=True forces the SWAR kernel in Mosaic-interpret mode (how
+    # tests drive it on CPU); production picks by backend
+    use_swar = interpret or dispatch.backend_name() == "swar"
+    if use_swar:
+        from ..ops import pallas_swar
 
     data = (
         np.frombuffer(text, np.uint8)
@@ -210,23 +219,38 @@ def _search_single_literal_slabbed(
         # halo: m-1 bytes to finish boundary matches + 1 byte so the
         # whole-word after-check at the last owned start sees real text
         slab = data[pos : min(pos + owned + m, n)]
-        staged = dispatch.stage(slab)
         tl = min(owned + m - 1, len(slab))
         prev = 0
         if pos > 0 and params.whole_word:
             prev = int(_is_word_byte(int(data[pos - 1])))
-        outs = pallas_swar.scan_shard(
-            staged.u32,
-            jnp.int32(tl),
-            jnp.int32(prev),
-            jnp.int32(owned),  # line accounting stops at the owned region:
-            # halo newlines belong to the NEXT slab (mesh-path contract)
-            pattern=params.pattern,
-            case_sensitive=params.case_sensitive,
-            whole_word=params.whole_word,
-            want_mask=want_mask,
-            interpret=interpret,
-        )
+        # line accounting stops at the owned region (start_limit=owned):
+        # halo newlines belong to the NEXT slab (mesh-path contract)
+        if use_swar:
+            staged = dispatch.stage(slab)
+            outs = pallas_swar.scan_shard(
+                staged.u32,
+                jnp.int32(tl),
+                jnp.int32(prev),
+                jnp.int32(owned),
+                pattern=params.pattern,
+                case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word,
+                want_mask=want_mask,
+                interpret=interpret,
+            )
+        else:
+            # non-SWAR backends: vectorized numpy host scan (no staging
+            # copy; ~100x XLA:CPU's scalar lowering for this shape)
+            outs = literal.scan_shard_host(
+                slab,
+                tl,
+                prev,
+                owned,
+                pattern=params.pattern,
+                case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word,
+                want_mask=want_mask,
+            )
         pending.append((pos, owned, outs))
         if len(pending) > WINDOW:
             drain(pending.pop(0))
@@ -440,13 +464,14 @@ def _search_single_literal(
         # pool analogue, krep.c:2851-2905); -t 1 forces the single-device
         # path like the reference's inline single-chunk run (krep.c:2764)
         return _search_single_literal_sharded(params, text, policy, threads)
-    if n > SLAB_BYTES and dispatch.backend_name() == "swar":
+    if n > SLAB_BYTES:
+        # any backend: the slab loop has both SWAR and XLA shard kernels
+        # (the reference's chunker works in any build, krep.c:2816-2829)
         return _search_single_literal_slabbed(params, text, policy)
     if (
         max_count is not None
         and max_count < (1 << 20)
         and n > 2 * EARLY_EXIT_SLAB
-        and dispatch.backend_name() == "swar"
     ):
         # small -m cap on a large text: stream small slabs so the scan can
         # stop at the cap (krep.c:1366-1367) instead of paying the full text
@@ -459,7 +484,8 @@ def _search_single_literal(
     if params.count_lines_mode:
         # -c: distinct matched lines, capped by -m (krep.c:1331-1351).
         _, lines, _ = _device_scan_literal(
-            staged, params.pattern, params, want_mask=False, want_lines=True
+            staged, params.pattern, params, want_mask=False, want_lines=True,
+            want_count=False,
         )
         count = min(lines, max_count) if max_count is not None else lines
         return SearchResult(count, _EMPTY_POS, n)

@@ -160,6 +160,88 @@ def shard_line_stats(mask: jax.Array, text: jax.Array):
     return count, lead, trail, any_match, has_nl
 
 
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+
+
+def _is_word_np(b: np.ndarray) -> np.ndarray:
+    return (
+        ((b >= 0x30) & (b <= 0x39))
+        | ((b >= 0x41) & (b <= 0x5A))
+        | ((b >= 0x61) & (b <= 0x7A))
+        | (b == 0x5F)
+    )
+
+
+def scan_shard_host(
+    data: np.ndarray,
+    true_len: int,
+    prev_word: int,
+    start_limit: int,
+    *,
+    pattern: bytes,
+    case_sensitive: bool = True,
+    whole_word: bool = False,
+    want_mask: bool = False,
+):
+    """Host (numpy) twin of pallas_swar.scan_shard for the slab loop on
+    non-SWAR backends (the reference's chunker works in any build,
+    krep.c:2816-2829; so must ours). Vectorized C-speed numpy beats
+    XLA:CPU's scalar-loop lowerings by ~100x here, and skips the staging
+    copy entirely. Match STARTS and newline accounting are bounded to
+    [0, start_limit) — the owned region — while matches may extend into
+    the halo up to true_len; prev_word is the is-word-char flag of the
+    byte before the slab for -w continuity.
+
+    Returns (count, first_in_line, trail, lead, has_nl, mask_u8) in
+    scan_shard's order (mask_u8 has one byte per slab position)."""
+    data = np.asarray(data)
+    n = data.shape[0]
+    m = len(pattern)
+    empty_mask = np.zeros(n if want_mask else 128, np.uint8)
+    if m == 0 or true_len < m or start_limit <= 0:
+        has_nl = bool((data[:start_limit] == NEWLINE).any())
+        return 0, 0, False, False, has_nl, empty_mask
+
+    t = data if case_sensitive else _LOWER_LUT[data]
+    pat = np.frombuffer(
+        pattern if case_sensitive else fold_bytes_host(pattern), np.uint8
+    )
+    lim = min(start_limit, true_len - m + 1)
+    acc = t[:lim] == pat[0]
+    for j in range(1, m):
+        acc &= t[j : lim + j] == pat[j]
+
+    if whole_word:
+        w_before = np.empty(lim, bool)
+        w_before[0] = bool(prev_word)
+        if lim > 1:
+            w_before[1:] = _is_word_np(t[: lim - 1])
+        after = np.zeros(lim, bool)
+        hi = min(lim, n - m)  # starts whose after-byte exists in the slab
+        if hi > 0:
+            after[:hi] = _is_word_np(t[m : m + hi])
+        acc &= ~w_before & ~after
+
+    starts = np.flatnonzero(acc)
+    count = len(starts)
+    nlpos = np.flatnonzero(data[:start_limit] == NEWLINE)
+    has_nl = len(nlpos) > 0
+    if count:
+        li = np.searchsorted(nlpos, starts, side="left")
+        fcount = len(np.unique(li))
+        lead = bool(li[0] == 0)
+        trail = bool(starts[-1] > (nlpos[-1] if has_nl else -1))
+    else:
+        fcount, lead, trail = 0, False, False
+    if want_mask:
+        mask = np.zeros(n, np.uint8)
+        mask[starts] = 1
+    else:
+        mask = empty_mask
+    return count, fcount, trail, lead, has_nl, mask
+
+
 def pack_mask(mask: jax.Array) -> jax.Array:
     """Bit-pack a bool mask to uint8, little-endian within each byte, for a
     cheap device→host transfer (the analogue of the per-thread

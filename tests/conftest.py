@@ -38,6 +38,12 @@ if os.environ.get("KREP_TPU_TEST_TPU") != "1":
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow_big: multi-GiB end-to-end streaming tests"
+    )
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     yield
