@@ -103,17 +103,24 @@ def config1(staged, n, data_path):
     from krep_tpu.ops import dispatch
 
     def run_one(j):
+        # assume_zero_tail=True times the PRODUCTION kernel (fresh staging
+        # zero-fills the tail, so the CLI path compiles without the
+        # start-bound compares); the chained with_len(n-j) variations exist
+        # only to defeat dispatch caching — their counts may include tail
+        # matches, which is irrelevant for timing. want_count=False matches
+        # the -c call site (engine/search.py), which only consumes lines.
         _, lines, _ = dispatch.scan_literal_staged(
             staged.with_len(n - j),
             pattern=PATTERN, case_sensitive=True, whole_word=False,
             want_mask=False, want_lines=True,
+            want_count=False, assume_zero_tail=True,
         )
         return lines
 
     gbps = chained_gbps(run_one, n)
     _, lines0, _ = dispatch.scan_literal_staged(
         staged, pattern=PATTERN, case_sensitive=True, whole_word=False,
-        want_mask=False, want_lines=True,
+        want_mask=False, want_lines=True, want_count=False,
     )
     lines0 = int(lines0)
     parity = None
@@ -143,7 +150,7 @@ def config2(staged, n):
         c, _, _ = dispatch.scan_literal_staged(
             staged.with_len(n - j),
             pattern=b"e", case_sensitive=False, whole_word=True,
-            want_mask=False, want_lines=False,
+            want_mask=False, want_lines=False, assume_zero_tail=True,
         )
         return c
 
@@ -162,7 +169,7 @@ def config3(staged, n):
         c, _, _ = pallas_swar.scan_multi(
             staged.u32, jnp.int32(n - j), patterns=pats,
             case_sensitive=True, whole_word=False,
-            want_mask=False, want_lines=False,
+            want_mask=False, want_lines=False, assume_zero_tail=True,
         )
         return c
 
@@ -193,46 +200,123 @@ def config3(staged, n):
     emit("64-literal multi-pattern count (config 3b, MXU route)", chained_gbps(run64, n))
 
 
-def config4(staged, n, data_path):
-    """POSIX ERE via the TPU literal-factor prefilter: the device scans for
-    the required factor ('ing'), glibc regexec visits only candidate lines
-    (engine/regex_engine.py). Device scan timed HBM-resident + chained like
-    configs 1-3; the host ranges-loop time is added from one full pass."""
+ING_WORDS = [b"jumping", b"singing", b"working", b"morning", b"nothing",
+             b"Running", b"Marking"]
+
+
+def gen_corpus_ing(path: str, size: int):
+    """English-like corpus where ~3% of LINES contain an 'ing' word — the
+    honest config-4 corpus (the plain bench corpus has zero factor hits,
+    VERDICT r2 weak #3): the device factor scan runs BOTH its count and
+    mask passes, and glibc regexec really executes on the candidates."""
+    if os.path.exists(path) and os.path.getsize(path) == size:
+        return
+    rng = np.random.default_rng(4242)
+    words = (
+        b"the quick brown fox jumps over a lazy dog and then some more words "
+        b"it was time for Sherlock to breathe deeply in the theatre"
+    ).split()
+    block = []
+    total = 0
+    with open(path, "wb") as f:
+        while total < size:
+            k = int(rng.integers(3, 9))
+            idx = rng.integers(0, len(words), k)
+            ws = [words[i] for i in idx]
+            if rng.random() < 0.03:  # ~3% of lines carry a factor hit
+                ws[int(rng.integers(0, k))] = ING_WORDS[
+                    int(rng.integers(0, len(ING_WORDS)))
+                ]
+            line = b" ".join(ws) + b"\n"
+            block.append(line)
+            total += len(line)
+            if len(block) >= 65536:
+                f.write(b"".join(block))
+                block = []
+        if block:
+            f.write(b"".join(block))
+        f.truncate(size)
+
+
+def config4(n, data_path):
+    """POSIX ERE '[A-Z][a-z]+ing' via the TPU literal-factor prefilter on a
+    corpus WITH factor hits: device count pass + device mask pass (both
+    HBM-resident, chained) + one measured host pass (mask compaction,
+    candidate line ranges, glibc regexec over candidate lines via the
+    native ranges loop). end-to-end = n / (t_count + t_mask + t_host)."""
     import jax.numpy as jnp
 
     from krep_tpu import SearchParams
     from krep_tpu.engine import ere_analyze, regex_engine
-    from krep_tpu.ops import pallas_swar
+    from krep_tpu.ops import dispatch, pallas_swar
 
     src = b"[A-Z][a-z]+ing"
     a = ere_analyze.analyze(src)
     assert a is not None and a.newline_safe and a.literals
 
-    def run_one(j):
-        # mirrors _union_literal_starts: count-only factor scan (the mask
-        # pass only runs when a slab has hits — this corpus has none)
+    path4 = os.path.join(CORPUS_DIR, f"bench_ing_{CORPUS_BYTES}.txt")
+    gen_corpus_ing(path4, CORPUS_BYTES)
+    data4 = np.memmap(path4, dtype=np.uint8, mode="r")
+    staged4 = dispatch.stage(data4)
+
+    def count_pass(j):
         c, _, _ = pallas_swar.scan_multi(
-            staged.u32, jnp.int32(n - j), patterns=a.literals,
+            staged4.with_len(n - j).u32, jnp.int32(n - j), patterns=a.literals,
             case_sensitive=True, whole_word=False,
-            want_mask=False, want_lines=False,
+            want_mask=False, want_lines=False, assume_zero_tail=True,
         )
         return c
 
-    gbps_scan = chained_gbps(run_one, n)
+    def mask_pass(j):
+        c, _, mask = pallas_swar.scan_multi(
+            staged4.with_len(n - j).u32, jnp.int32(n - j), patterns=a.literals,
+            case_sensitive=True, whole_word=False,
+            want_mask=True, want_lines=False, assume_zero_tail=True,
+        )
+        return c + mask.reshape(-1)[0].astype(jnp.int32)
 
-    # one full end-to-end pass for the exact match count + host-side cost
+    gbps_count = chained_gbps(count_pass, n)
+    gbps_mask = chained_gbps(mask_pass, n)
+
+    # one full host pass: compaction + line ranges + native regexec loop
+    _, _, mask = pallas_swar.scan_multi(
+        staged4.u32, staged4.true_len, patterns=a.literals,
+        case_sensitive=True, whole_word=False,
+        want_mask=True, want_lines=False,
+    )
+    t0 = time.perf_counter()
+    starts = dispatch.starts_from_device_mask(mask, n)
+    t_compact = time.perf_counter() - t0
+    arr = np.asarray(data4)
+    t0 = time.perf_counter()
+    ranges = regex_engine._candidate_line_ranges(arr, starts)
+    t_ranges = time.perf_counter() - t0
     p = SearchParams(patterns=(src,), use_regex=True, count_mode=True,
                      only_matching=True)
-    sz = min(os.path.getsize(data_path), 256 << 20)
-    data = open(data_path, "rb").read(sz)
+    data_b = arr.tobytes()
+    from krep_tpu.native import runtime as native
+    cflags = regex_engine.REG_EXTENDED | regex_engine.REG_NEWLINE
     t0 = time.perf_counter()
-    r = regex_engine.search_regex(p, data)
-    dt = time.perf_counter() - t0
-    emit("POSIX ERE '[A-Z][a-z]+ing' scan (config 4, TPU factor prefilter + "
-         "glibc regexec on candidate lines)",
-         gbps_scan,
-         {"matches": r.count,
-          "end_to_end_cold_gbps": round(sz / dt / 1e9, 3)})
+    count, _ = native.regex_search_ranges(
+        src, data_b, ranges, cflags, False, False, False, 1 << 62,
+    )
+    t_regexec = time.perf_counter() - t0
+    cand_bytes = int((ranges[:, 1] - ranges[:, 0]).sum())
+    t_host = t_compact + t_ranges + t_regexec
+    t_device = n / (gbps_count * 1e9) + n / (gbps_mask * 1e9)
+    e2e = n / (t_device + t_host) / 1e9
+    emit("POSIX ERE '[A-Z][a-z]+ing' (config 4, factor-hit corpus: device "
+         "count+mask passes + host regexec on candidate lines)",
+         e2e,
+         {"matches": int(count),
+          "factor_scan_gbps": round(gbps_count, 3),
+          "mask_pass_gbps": round(gbps_mask, 3),
+          "candidate_lines": int(len(ranges)),
+          "candidate_line_density_pct": round(100 * cand_bytes / n, 2),
+          "host_seconds": round(t_host, 3),
+          "compact_s": round(t_compact, 3),
+          "ranges_s": round(t_ranges, 3),
+          "regexec_s": round(t_regexec, 3)})
 
 
 def config5():
@@ -275,6 +359,74 @@ def config5():
          total / dt / 1e9, {"files": out.getvalue().count(b"\n"), "seconds": round(dt, 3)})
 
 
+def config6(staged, n, data_path):
+    """Positions at scale: -o 'the' over the 1 GiB corpus (~tens of
+    millions of matches) — device mask pass, packed-bit compaction, greedy
+    -o policy, bulk -o printer to /dev/null. This is the half of grep-style
+    work the count configs never measure (VERDICT r2 weak #6)."""
+    import jax.numpy as jnp
+
+    from krep_tpu import SearchParams, search_string
+    from krep_tpu.engine import resolve
+    from krep_tpu.output import printer
+    from krep_tpu.params import MatchPolicy
+    from krep_tpu.ops import dispatch, pallas_swar
+
+    pat = PATTERN
+    m = len(pat)
+
+    def mask_pass(j):
+        c, _, mask = pallas_swar.scan_multi(
+            staged.with_len(n - j).u32, jnp.int32(n - j), patterns=(pat,),
+            case_sensitive=True, whole_word=False,
+            want_mask=True, want_lines=False, assume_zero_tail=True,
+        )
+        return c + mask.reshape(-1)[0].astype(jnp.int32)
+
+    gbps_mask = chained_gbps(mask_pass, n)
+
+    _, _, mask = pallas_swar.scan_multi(
+        staged.u32, staged.true_len, patterns=(pat,),
+        case_sensitive=True, whole_word=False,
+        want_mask=True, want_lines=False, assume_zero_tail=True,
+    )
+    import jax
+
+    jax.block_until_ready(mask)
+    t0 = time.perf_counter()
+    starts = dispatch.starts_from_device_mask(mask, n)
+    t_compact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    kept = resolve.apply_policy(starts, m, MatchPolicy.NONOVERLAP, n)
+    t_policy = time.perf_counter() - t0
+    positions = np.stack([kept, kept + m], axis=1).astype(np.int64)
+    data = np.memmap(data_path, dtype=np.uint8, mode="r")
+    with open(os.devnull, "wb") as sink:
+        t0 = time.perf_counter()
+        printer.print_only_matching(sink, data, positions, "corpus.txt", False)
+        t_print = time.perf_counter() - t0
+    t_dev = n / (gbps_mask * 1e9)
+    e2e = n / (t_dev + t_compact + t_policy + t_print) / 1e9
+
+    # the actual CLI path for -o 'the' (memchr_short candidate-walk
+    # emulation, host-side) end-to-end for comparison
+    p = SearchParams(patterns=(pat,), only_matching=True)
+    t0 = time.perf_counter()
+    r = search_string(p, np.asarray(data), threads=1)
+    t_memchr = time.perf_counter() - t0
+
+    emit("-o positions at scale (config 6: device mask + packed compaction "
+         "+ greedy policy + bulk -o printer to /dev/null)",
+         e2e,
+         {"matches": int(len(positions)),
+          "mask_pass_gbps": round(gbps_mask, 3),
+          "compact_s": round(t_compact, 3),
+          "policy_s": round(t_policy, 3),
+          "print_s": round(t_print, 3),
+          "memchr_short_cli_path_s": round(t_memchr, 3),
+          "memchr_short_matches": int(r.count)})
+
+
 def main():
     os.makedirs(CORPUS_DIR, exist_ok=True)
     path = os.path.join(CORPUS_DIR, f"bench_{CORPUS_BYTES}.txt")
@@ -290,8 +442,9 @@ def main():
     if "--all" in sys.argv:
         config2(staged, n)
         config3(staged, n)
-        config4(staged, n, path)
+        config4(n, path)
         config5()
+        config6(staged, n, path)
 
 
 if __name__ == "__main__":

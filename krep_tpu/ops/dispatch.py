@@ -107,6 +107,11 @@ class StagedText:
         self.true_len = jnp.int32(n)
         self._u8 = None
         self._u32 = None
+        # fresh staging zero-fills past n, so NUL-free patterns can skip
+        # the kernel's start-bound compares entirely (pallas_swar
+        # no_tail_guard); with_len views share a buffer whose tail holds
+        # live text and must keep the guard
+        self.tail_zero = True
 
     @property
     def u8(self):
@@ -137,6 +142,7 @@ class StagedText:
         other._u8 = None
         other._u32 = None
         other._src = self
+        other.tail_zero = False
         return other
 
 
@@ -166,12 +172,16 @@ def backend_name() -> str:
 def scan_literal_staged(
     staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
     want_lines: bool = True, mask_kind: str = "starts",
+    want_count: bool = True, assume_zero_tail: bool | None = None,
 ):
     """Fused literal scan via the selected backend (KREP_TPU_BACKEND =
     auto | swar | pallas | xla). Returns (match_count, matched_line_count,
     mask) where mask's little-endian bytes are the per-byte 0/1 mask
     (match starts, or -c dedup events for mask_kind="first_line").
-    matched_line_count is only meaningful when want_lines=True."""
+    matched_line_count is only meaningful when want_lines=True.
+    want_count=False lets lines-only callers (-c) skip the match-count
+    popcount on the SWAR backend (the count slot returns 0 there);
+    assume_zero_tail overrides staged.tail_zero (bench timing only)."""
     from ..utils import profiling
 
     with profiling.scan_span(f"scan[{backend_name()}] m={len(pattern)}", staged.n or 0):
@@ -183,18 +193,23 @@ def scan_literal_staged(
             want_mask=want_mask,
             want_lines=want_lines,
             mask_kind=mask_kind,
+            want_count=want_count,
+            assume_zero_tail=assume_zero_tail,
         )
 
 
 def _scan_literal_staged(
     staged: "StagedText", *, pattern, case_sensitive, whole_word, want_mask,
     want_lines: bool = True, mask_kind: str = "starts",
+    want_count: bool = True, assume_zero_tail: bool | None = None,
 ):
     be = backend_name()
     if be == "swar":
         try:
             from . import pallas_swar
 
+            if assume_zero_tail is None:
+                assume_zero_tail = getattr(staged, "tail_zero", False)
             return pallas_swar.scan_literal(
                 staged.u32,
                 staged.true_len,
@@ -204,6 +219,8 @@ def _scan_literal_staged(
                 want_mask=want_mask,
                 want_lines=want_lines,
                 mask_kind=mask_kind,
+                assume_zero_tail=bool(assume_zero_tail),
+                want_count=want_count,
             )
         except (ImportError, NotImplementedError):
             be = "pallas"
@@ -239,14 +256,38 @@ def _group_counts(mask2d):
     return jnp.sum(((w * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32), axis=1)
 
 
+@jax.jit
+def _pack_mask_bits(mask_words):
+    """u32 mask words (0x01-bytes, little-endian byte order) → bit-packed
+    uint8, 8 text positions per byte. 8x less device→host transfer for
+    DENSE masks (positions-at-scale -o queries)."""
+    u8 = jax.lax.bitcast_convert_type(
+        mask_words.reshape(-1, 2), jnp.uint8
+    ).reshape(-1, 8)
+    w = (2 ** np.arange(8, dtype=np.uint8)).reshape(1, 8)
+    return jnp.sum(u8 * w, axis=1).astype(jnp.uint8)
+
+
 GROUP_WORDS = 16384  # 64 KiB of text per group
+
+
+def _starts_via_packed_bits(mask_dev, n: int) -> np.ndarray:
+    """Dense-mask readback: pack 0/1 bytes to bits ON DEVICE, transfer n/8
+    bytes, unpack host-side (C-speed np.unpackbits)."""
+    if mask_dev.size % 2:
+        mk = np.asarray(mask_dev).view(np.uint8)
+        return np.flatnonzero(mk[:n]).astype(np.int64)
+    packed = np.asarray(_pack_mask_bits(mask_dev))
+    bits = np.unpackbits(packed, bitorder="little", count=n)
+    return np.flatnonzero(bits).astype(np.int64)
 
 
 def starts_from_device_mask(mask_dev, n: int) -> np.ndarray:
     """Extract match-start offsets from a device-resident mask without
     transferring the whole thing: per-64KiB-group counts come back first
     (tiny), then only the groups that contain matches are gathered
-    device-side and copied out. Dense masks fall back to one full copy."""
+    device-side and copied out. Dense masks are bit-packed on device and
+    transferred at n/8 bytes."""
     if mask_dev.dtype == np.uint8:  # XLA path returns bytes already on host path
         mk = np.asarray(mask_dev)
         return np.flatnonzero(mk[:n]).astype(np.int64)
@@ -261,8 +302,7 @@ def starts_from_device_mask(mask_dev, n: int) -> np.ndarray:
     if len(nz) == 0:
         return np.zeros(0, np.int64)
     if len(nz) > G // 2:
-        mk = np.asarray(mask_dev).view(np.uint8)
-        return np.flatnonzero(mk[:n]).astype(np.int64)
+        return _starts_via_packed_bits(mask_dev, n)
     sel = np.asarray(jnp.take(m2, jnp.asarray(nz), axis=0)).view(np.uint8)
     rows, cols = np.nonzero(sel.reshape(len(nz), GROUP_WORDS * 4))
     starts = nz[rows].astype(np.int64) * (GROUP_WORDS * 4) + cols

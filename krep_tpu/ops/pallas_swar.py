@@ -224,7 +224,8 @@ def _bit_scan_affine(a_w, b_w):
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
                  tile_r: int, want_stats: bool = False,
-                 mask_kind: str = "starts", has_limit: bool = False):
+                 mask_kind: str = "starts", has_limit: bool = False,
+                 no_tail_guard: bool = False, want_count: bool = True):
     """K patterns fused in one pass over the text: per-pattern packed match
     words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
     counts, test_multiple_patterns.c:345-471), union mask for line
@@ -260,8 +261,16 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         shape = (tile_r, LANES)
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
-        # first byte offset of each packed element in the full text
-        gbase = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
+
+        # first byte offset of each packed element in the full text —
+        # built lazily: with no_tail_guard and no shard limit nothing in
+        # the kernel needs it (a measurable VPU saving per tile)
+        gcache = {}
+
+        def gbase_arr():
+            if "g" not in gcache:
+                gcache["g"] = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
+            return gcache["g"]
         # start_limit: exclusive bound on match-START positions (and on
         # newline accounting) — the shard/slab "owned" region. Bytes in
         # [start_limit, true_len) are halo: matches may END there but no
@@ -339,7 +348,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             # newline accounting is owned-region only (element masking is
             # exact per the start_limit contract above; padding beyond
             # true_len is zeros → no '\n' there)
-            nl_flags = jnp.where(gbase < start_limit, nl_flags, _U(0))
+            nl_flags = jnp.where(gbase_arr() < start_limit, nl_flags, _U(0))
         any_nl = jnp.any(nl_flags != _U(0))
 
         def full_path(_):
@@ -388,23 +397,30 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
             # start must be in the owned region AND leave room for the whole
             # pattern before true_len; the compare array is shared across
-            # patterns of equal length (a big saving for large -f sets)
+            # patterns of equal length (a big saving for large -f sets).
+            # no_tail_guard (static): when every pattern is NUL-free and the
+            # staged tail past true_len is all zeros, no match can start
+            # beyond true_len - m (a pattern byte would have to equal the
+            # zero padding) — the whole bound-compare chain vanishes.
             limcache = {}
 
             def limit_mask(p, m_k):
+                if no_tail_guard and not has_limit:
+                    return None
                 key = (p, m_k)
                 if key not in limcache:
                     bound = true_len - m_k + 1
                     if has_limit:
                         bound = jnp.minimum(bound, start_limit)
-                    limcache[key] = gbase + p < bound
+                    limcache[key] = gbase_arr() + p < bound
                 return limcache[key]
 
             def verified_acc(kk, p):
                 acc = first_word_mask(kk, p)
                 for (t, mk, vl) in phase_tab[kk][p][1:]:
                     acc = acc & word_cmp(t, mk, vl)
-                return acc & limit_mask(p, lens[kk])
+                lm = limit_mask(p, lens[kk])
+                return acc if lm is None else acc & lm
 
             count_only = (
                 not want_mask and not want_lines and not whole_word
@@ -440,9 +456,11 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                             EW(qa + 1) << _U(32 - 8 * ra)
                         )
                     mw_k = mw_k & (~beforew) & (~afterw) & one
-                dcount = dcount + jnp.sum(
-                    ((mw_k * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
-                )
+                if want_count:
+                    # lines-only callers (-c) skip the match-count popcount
+                    dcount = dcount + jnp.sum(
+                        ((mw_k * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+                    )
                 mword = mword | mw_k
 
             if not want_lines:
@@ -665,6 +683,8 @@ def scan_literal(
     want_lines: bool = True,
     interpret: bool = False,
     mask_kind: str = "starts",
+    assume_zero_tail: bool = False,
+    want_count: bool = True,
 ):
     """Single-pattern SWAR scan — see scan_multi."""
     return scan_multi(
@@ -677,6 +697,8 @@ def scan_literal(
         want_lines=want_lines,
         interpret=interpret,
         mask_kind=mask_kind,
+        assume_zero_tail=assume_zero_tail,
+        want_count=want_count,
     )
 
 
@@ -686,7 +708,7 @@ NO_LIMIT = 0x7FFFFFF0  # start_limit sentinel: no owned-region restriction
 def _scan_raw(
     text32, true_len, prev_word, *, patterns, case_sensitive, whole_word,
     want_mask, want_lines, want_stats, interpret, start_limit=None,
-    mask_kind="starts",
+    mask_kind="starts", assume_zero_tail=False, want_count=True,
 ):
     if mask_kind == "first_line":
         assert want_lines, "first_line mask needs the line-accounting path"
@@ -707,6 +729,11 @@ def _scan_raw(
     has_limit = start_limit is not None
     if start_limit is None:
         start_limit = jnp.int32(NO_LIMIT)
+    # the tail-guard elision is sound only for NUL-free patterns over a
+    # zero tail (see _make_kernel); anything else keeps the bound compare
+    no_tail_guard = bool(assume_zero_tail) and all(
+        0 not in p for p in patterns
+    )
     tl = jnp.stack(
         [
             true_len.astype(jnp.int32),
@@ -717,6 +744,7 @@ def _scan_raw(
     kernel = _make_kernel(
         tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
         tile_r, want_stats, mask_kind, has_limit,
+        no_tail_guard=no_tail_guard, want_count=want_count,
     )
 
     out_shape = [jax.ShapeDtypeStruct((8,), jnp.int32)]
@@ -758,7 +786,7 @@ def _scan_raw(
     jax.jit,
     static_argnames=(
         "patterns", "case_sensitive", "whole_word", "want_mask", "want_lines",
-        "interpret", "mask_kind",
+        "interpret", "mask_kind", "assume_zero_tail", "want_count",
     ),
 )
 def scan_multi(
@@ -772,6 +800,8 @@ def scan_multi(
     want_lines: bool = True,
     interpret: bool = False,
     mask_kind: str = "starts",
+    assume_zero_tail: bool = False,
+    want_count: bool = True,
 ):
     """SWAR fused K-pattern scan over the uint32 staged view
     (dispatch.StagedText.u32): shape (R4 + H4, 128) uint32.
@@ -785,6 +815,7 @@ def scan_multi(
         patterns=tuple(patterns), case_sensitive=case_sensitive,
         whole_word=whole_word, want_mask=want_mask, want_lines=want_lines,
         want_stats=False, interpret=interpret, mask_kind=mask_kind,
+        assume_zero_tail=assume_zero_tail, want_count=want_count,
     )
     return counts[0], counts[1], mask
 

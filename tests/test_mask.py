@@ -84,3 +84,24 @@ def test_scan_literal_fused():
     assert int(count) == len(starts)
     assert int(lines) == naive.matched_lines(text, starts)
     assert np.flatnonzero(np.asarray(mask)[: len(text)]).tolist() == starts
+
+
+def test_packed_bits_dense_compaction():
+    """Dense-mask readback path: device bit-packing + host unpackbits must
+    equal the byte-mask flatnonzero for any density."""
+    import numpy as np
+    from krep_tpu.ops import dispatch
+
+    rng = np.random.default_rng(3)
+    size_words = 16384 * 8  # multiple of GROUP_WORDS
+    for dens in (0.0, 0.02, 0.6, 1.0):
+        bytes_buf = (rng.random(size_words * 4) < dens).astype(np.uint8)
+        import jax.numpy as jnp
+
+        mask_words = jnp.asarray(bytes_buf.view("<u4"))
+        n = size_words * 4 - 57
+        want = np.flatnonzero(bytes_buf[:n])
+        got = dispatch._starts_via_packed_bits(mask_words, n)
+        assert np.array_equal(got, want), dens
+        got2 = dispatch.starts_from_device_mask(mask_words, n)
+        assert np.array_equal(got2, want), dens

@@ -210,3 +210,54 @@ def test_packed_scan_cross_tile_carry():
         want = naive.all_starts(text, pat)
         assert c == len(want)
         assert l == naive.matched_lines(text, want)
+
+
+def test_no_tail_guard_exact_on_fresh_staging():
+    """assume_zero_tail elides the start-bound compares; on fresh staging
+    (zero tail) every NUL-free pattern must still produce identical counts,
+    lines, and masks — including matches ending exactly at true_len and
+    patterns as long as the tail padding."""
+    rng = np.random.default_rng(77)
+    base = naive.gen_english(13, 60_000)
+    for text in [base, base[:-1] + b"e", b"needle" * 100, b"ab"]:
+        for pat in [b"the", b"e", base[-7:], b"needle", b"ab"]:
+            st = dispatch.stage(text)
+            outs = []
+            for azt in (False, True):
+                c, l, mask = pallas_swar.scan_literal(
+                    st.u32, st.true_len, pattern=pat, want_mask=True,
+                    interpret=True, assume_zero_tail=azt,
+                )
+                mk = np.asarray(mask).view(np.uint8)[: len(text)]
+                outs.append((int(c), int(l), mk.tolist()))
+            assert outs[0] == outs[1], (pat, len(text))
+            want = naive.all_starts(text, pat)
+            assert outs[0][0] == len(want), (pat, len(text))
+
+
+def test_no_tail_guard_rejected_for_nul_patterns():
+    """A NUL-containing pattern could match the zero padding; the flag must
+    silently keep the guard (exactness over speed)."""
+    text = b"a\x00b" * 1000
+    st = dispatch.stage(text)
+    pat = b"a\x00b"
+    c, _, _ = pallas_swar.scan_literal(
+        st.u32, st.true_len, pattern=pat, want_mask=False, want_lines=False,
+        interpret=True, assume_zero_tail=True,
+    )
+    assert int(c) == len(naive.all_starts(text, pat))
+
+
+def test_want_count_false_lines_exact():
+    """want_count=False (the -c fast path) must keep the line count exact
+    while reporting count=0."""
+    text = naive.gen_english(14, 80_000)
+    st = dispatch.stage(text)
+    c, l, _ = pallas_swar.scan_literal(
+        st.u32, st.true_len, pattern=b"the", want_mask=False,
+        want_lines=True, interpret=True, want_count=False,
+        assume_zero_tail=True,
+    )
+    want = naive.all_starts(text, b"the")
+    assert int(c) == 0
+    assert int(l) == naive.matched_lines(text, want)
