@@ -110,10 +110,14 @@ PARALLEL_MIN_BYTES = 8 << 20  # below this, fork overhead dominates
 
 def _worker_chunk(args):
     """Run the sequential loop over one line-aligned chunk. Executed in a
-    forked worker; `_G` holds (data, params) via copy-on-write."""
+    forked worker; `_G` holds (data, params) via copy-on-write.
+    drop_end on every chunk but the last: a zero-length match exactly at
+    the chunk end (e.g. '^x*' after the trailing newline) belongs to the
+    next chunk, which re-finds it at its own offset 0 — without this,
+    every boundary double-counts (both the -o total and the -c line)."""
     lo, hi = args
     data, params = _G
-    r = _search_regex_seq(params, data[lo:hi])
+    r = _search_regex_seq(params, data[lo:hi], drop_end=hi < len(data))
     return r.count, (r.positions + lo).tolist()
 
 
@@ -431,11 +435,13 @@ def _search_regex_parallel(params: SearchParams, data: bytes,
 
 
 def _search_regex_seq(
-    params: SearchParams, data: bytes, force_python: bool = False
+    params: SearchParams, data: bytes, force_python: bool = False,
+    drop_end: bool = False,
 ) -> "SearchResult":
     """force_python skips the native C loop — used by tests to pin the
     no-toolchain ctypes fallback against it (the two implement the same
-    krep.c:1389-1579 contract and must never diverge)."""
+    krep.c:1389-1579 contract and must never diverge). drop_end: chunk
+    boundary ownership (see _worker_chunk)."""
     from .search import SearchResult, _EMPTY_POS
 
     n = len(data)
@@ -464,6 +470,7 @@ def _search_regex_seq(
             params.count_lines_mode,
             params.track_positions,
             params.effective_max_count,
+            drop_end=drop_end,
         )
         if not params.track_positions or params.count_lines_mode:
             positions = _EMPTY_POS
@@ -503,6 +510,8 @@ def _search_regex_seq(
             break
         so, eo = hit
         start, end = cur + so, cur + eo
+        if drop_end and start >= n:
+            break  # chunk-boundary ownership: the next chunk counts it
 
         if params.whole_word:
             before_ok = start == 0 or not _is_word_byte(data[start - 1])

@@ -86,10 +86,16 @@ typedef struct {
     int error;    /* 0 ok; 1 compile error; 2 exec error */
 } krep_regex_result;
 
+/* drop_end: parallel line-aligned chunks set it for every chunk but the
+ * last — a ZERO-LENGTH match exactly at the window end (start == text_len,
+ * e.g. '^x*' right after the chunk's trailing newline) belongs to the NEXT
+ * chunk, which re-finds it at its own offset 0; counting it here
+ * double-counts at every boundary (both -o totals and the -c line). */
 int64_t krep_regex_search(const char *pattern_z, const char *text,
                           int64_t text_len, int cflags, int whole_word,
                           int count_lines_mode, int track_positions,
-                          int64_t max_count, krep_regex_result *out)
+                          int64_t max_count, int drop_end,
+                          krep_regex_result *out)
 {
     out->count = 0;
     out->n_pos = 0;
@@ -148,6 +154,8 @@ int64_t krep_regex_search(const char *pattern_z, const char *text,
             break;
         int64_t start = cur + pm.rm_so;
         int64_t end = cur + pm.rm_eo;
+        if (drop_end && start >= text_len)
+            break; /* boundary ownership: the next chunk counts it */
 
         if (whole_word) {
             int before_ok = (start == 0) || !is_word_c((unsigned char)text[start - 1]);

@@ -79,6 +79,7 @@ _lib.krep_regex_search.argtypes = [
     ctypes.c_int,             # count_lines_mode
     ctypes.c_int,             # track_positions
     ctypes.c_int64,           # max_count
+    ctypes.c_int,             # drop_end (chunk-boundary ownership)
     ctypes.POINTER(_RegexResult),
 ]
 _lib.krep_regex_search_ranges.restype = ctypes.c_int64
@@ -107,14 +108,16 @@ def regex_search(
     count_lines_mode: bool,
     track_positions: bool,
     max_count: int,
+    drop_end: bool = False,
 ):
     """Full reference regex loop in C. Returns (count, positions (k,2) int64).
-    Raises ValueError on compile error."""
+    Raises ValueError on compile error. drop_end: see krep_regex_search —
+    set for every parallel chunk but the last."""
     res = _RegexResult()
     rc = _lib.krep_regex_search(
         pattern, text, len(text), cflags,
         int(whole_word), int(count_lines_mode), int(track_positions),
-        max_count, ctypes.byref(res),
+        max_count, int(drop_end), ctypes.byref(res),
     )
     try:
         if res.error == 1:

@@ -9,6 +9,7 @@ import tempfile
 import pytest
 
 import naive
+import numpy as np
 import oracle
 from krep_tpu import SearchParams, search_string, cli
 
@@ -98,3 +99,57 @@ def test_leftmost_longest_semantics():
     p = SearchParams(patterns=(b"a|ab|abc",), use_regex=True, only_matching=True)
     r = search_string(p, b"xxabcxx")
     assert r.positions.tolist() == [[2, 5]]  # abc, not just 'a'
+
+
+def test_parallel_zero_length_boundary_ownership(monkeypatch):
+    """Zero-length matches exactly at a chunk boundary ('^x*' after the
+    chunk's trailing newline) must be counted ONCE: the chunk ending there
+    drops them (drop_end), the next chunk re-finds them at its offset 0.
+    Without the ownership rule every boundary double-counts — unlike the
+    reference, whose threaded regex silently LOSES boundary matches
+    (KNOWN_DIVERGENCES #2), ours must equal the sequential loop exactly."""
+    from krep_tpu.engine import regex_engine
+    from krep_tpu.params import SearchParams
+
+    def tiny_chunks(n, data, workers):
+        ranges, lo = [], 0
+        while lo < n:
+            hi = min(lo + 256, n)
+            if hi < n:
+                nl = data.find(b"\n", hi)
+                hi = n if nl == -1 else nl + 1
+            ranges.append((lo, hi))
+            lo = hi
+        return ranges
+
+    monkeypatch.setattr(regex_engine, "_parallel_chunks", tiny_chunks)
+    data = b"some text here\nmore x lines\n" * 40
+    for pat in [b"^x*", b"^m?", b"(^|q)x*", b"x*", b"x*$"]:
+        for mode in [{"only_matching": True}, {"count_mode": True},
+                     {"only_matching": True, "count_mode": True}]:
+            p = SearchParams(patterns=(pat,), use_regex=True, **mode)
+            seq = regex_engine._search_regex_seq(p, data)
+            par = regex_engine._search_regex_parallel(p, data, threads=8)
+            assert par.count == seq.count, (pat, mode)
+            assert np.array_equal(par.positions, seq.positions), (pat, mode)
+
+
+def test_drop_end_native_vs_python():
+    """The C loop's drop_end must mirror the Python loop's."""
+    from krep_tpu.engine import regex_engine
+    from krep_tpu.params import SearchParams
+
+    chunk = b"some text here\nmore x lines\n"
+    for pat in [b"^x*", b"x*", b"^$", b"e?"]:
+        p = SearchParams(patterns=(pat,), use_regex=True, only_matching=True)
+        for de in (False, True):
+            rn = regex_engine._search_regex_seq(p, chunk, drop_end=de)
+            rp = regex_engine._search_regex_seq(
+                p, chunk, force_python=True, drop_end=de
+            )
+            assert rn.count == rp.count, (pat, de)
+            assert np.array_equal(rn.positions, rp.positions), (pat, de)
+        full = regex_engine._search_regex_seq(p, chunk)
+        dropped = regex_engine._search_regex_seq(p, chunk, drop_end=True)
+        boundary = (full.positions[:, 0] == len(chunk)).sum()
+        assert full.count - dropped.count == boundary, pat
