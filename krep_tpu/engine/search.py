@@ -75,14 +75,35 @@ def _is_word_np(b: np.ndarray) -> np.ndarray:
     )
 
 
-def _memchr_short_o(params: SearchParams, text) -> SearchResult:
+def _memchr_short_o(
+    params: SearchParams, text, force_python: bool = False
+) -> SearchResult:
     """Host emulation of memchr_short_search in -o mode (krep.c:4371-4503):
     its candidate-skip advance drops some matches, and that observable
-    behavior must be reproduced (see resolve.memchr_short_o_walk)."""
+    behavior must be reproduced (see resolve.memchr_short_o_walk).
+    The hot implementation is one native C pass (SWAR-block candidate
+    detection + verify); the numpy pipeline below is the no-toolchain
+    fallback and the semantics oracle the C pass is tested against
+    (force_python)."""
     buf = np.frombuffer(text, np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text)
     n = buf.shape[0]
     pat = np.frombuffer(params.pattern, np.uint8)
     m = len(pat)
+
+    try:
+        from ..native import runtime as _native
+    except Exception:
+        _native = None
+    if force_python:
+        _native = None
+    if _native is not None and m <= 16:
+        kept = _native.memchr_short_o_scan(
+            buf, params.pattern, not params.case_sensitive,
+            params.whole_word, params.max_count,
+        )
+        kept = resolve.truncate_max_count(kept, params.max_count)
+        positions = np.stack([kept, kept + m], axis=1).astype(np.int64)
+        return SearchResult(len(kept), positions, n)
     t = buf
     if not params.case_sensitive:
         upper = (t >= 0x41) & (t <= 0x5A)

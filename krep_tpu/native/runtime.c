@@ -315,6 +315,114 @@ done:
     return count;
 }
 
+/* Whole memchr_short -o scan in one pass (krep.c:4371-4503): glibc memchr
+ * jumps between first-byte candidates, short memcmp verifies, and the
+ * reference's quirky advance is applied in-stream — matched or
+ * failed-verify candidates skip pattern_len bytes, whole-word rejections
+ * skip one. Replaces a numpy pipeline whose random gathers at ~77M
+ * candidates/GiB ran ~50x slower. Returns #kept; *out_pos is a malloc'd
+ * start-offset array (krep_free releases). max_count < 0 = unlimited. */
+int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
+                                 const uint8_t *pat, int64_t m,
+                                 int case_insensitive, int whole_word,
+                                 int64_t max_count, int64_t **out_pos)
+{
+    *out_pos = NULL;
+    if (m <= 0 || n < m)
+        return 0;
+    uint8_t fp[16];
+    for (int64_t j = 0; j < m && j < 16; ++j) {
+        uint8_t c = pat[j];
+        if (case_insensitive && c >= 'A' && c <= 'Z')
+            c = (uint8_t)(c + 32);
+        fp[j] = c;
+    }
+    uint8_t p0 = fp[0];
+    uint8_t p0u = (p0 >= 'a' && p0 <= 'z') ? (uint8_t)(p0 - 32) : p0;
+    int two = case_insensitive && p0u != p0;
+
+    int64_t cap = 4096, cnt = 0;
+    int64_t *buf = malloc((size_t)cap * sizeof *buf);
+    if (!buf)
+        return 0;
+    int64_t pos = 0;
+    int64_t last_start = n - m; /* inclusive */
+    /* u64-SWAR candidate detection: at english-like densities (~7% 't')
+     * per-candidate memchr hops cost ~55ns each; an 8-byte block test with
+     * a ctz hop runs ~4-5x faster and degrades gracefully when dense. */
+    const uint64_t ONES = 0x0101010101010101ULL;
+    const uint64_t HIGH = 0x8080808080808080ULL;
+    const uint64_t b0 = ONES * p0, b1 = ONES * p0u;
+    while (pos <= last_start) {
+        if (pos + 8 <= n) {
+            uint64_t w;
+            memcpy(&w, text + pos, 8);
+            uint64_t x = w ^ b0;
+            uint64_t c = (x - ONES) & ~x & HIGH;
+            if (two) {
+                uint64_t y = w ^ b1;
+                c |= (y - ONES) & ~y & HIGH;
+            }
+            if (!c) {
+                pos += 8;
+                continue;
+            }
+            pos += __builtin_ctzll(c) >> 3;
+            if (pos > last_start)
+                break;
+        } else {
+            size_t rem = (size_t)(last_start - pos + 1);
+            const uint8_t *h;
+            if (!two) {
+                h = memchr(text + pos, p0, rem);
+            } else { /* earliest of both cases (krep.c:3925-3933) */
+                const uint8_t *h1 = memchr(text + pos, p0, rem);
+                const uint8_t *h2 = memchr(text + pos, p0u, rem);
+                h = (h1 && h2) ? (h1 < h2 ? h1 : h2) : (h1 ? h1 : h2);
+            }
+            if (!h)
+                break;
+            pos = h - text;
+        }
+        int ok = 1;
+        for (int64_t j = 1; j < m; ++j) {
+            uint8_t c = text[pos + j];
+            if (case_insensitive && c >= 'A' && c <= 'Z')
+                c = (uint8_t)(c + 32);
+            if (c != fp[j]) {
+                ok = 0;
+                break;
+            }
+        }
+        if (ok && whole_word) {
+            int before = (pos == 0) || !is_word_c(text[pos - 1]);
+            int after = (pos + m >= n) || !is_word_c(text[pos + m]);
+            if (!(before && after)) {
+                pos += 1; /* word rejection advances one byte (walk quirk) */
+                continue;
+            }
+        }
+        if (ok) {
+            if (cnt >= cap) {
+                cap *= 2;
+                int64_t *nb = realloc(buf, (size_t)cap * sizeof *nb);
+                if (!nb) {
+                    free(buf);
+                    *out_pos = NULL;
+                    return 0;
+                }
+                buf = nb;
+            }
+            buf[cnt++] = pos;
+            if (max_count >= 0 && cnt >= max_count)
+                break;
+        }
+        pos += m; /* candidate skip: matched or failed verify (krep.c:4495) */
+    }
+    *out_pos = buf;
+    return cnt;
+}
+
 void krep_free(void *p) { free(p); }
 
 /* Count of distinct line ids among sorted match starts, given sorted

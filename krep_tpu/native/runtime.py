@@ -99,6 +99,48 @@ _lib.krep_regex_search_ranges.argtypes = [
 _lib.krep_free.restype = None
 _lib.krep_free.argtypes = [ctypes.c_void_p]
 
+_lib.krep_memchr_short_o_scan.restype = ctypes.c_int64
+_lib.krep_memchr_short_o_scan.argtypes = [
+    _u8p,                      # text
+    ctypes.c_int64,            # n
+    ctypes.c_char_p,           # pattern
+    ctypes.c_int64,            # m
+    ctypes.c_int,              # case_insensitive
+    ctypes.c_int,              # whole_word
+    ctypes.c_int64,            # max_count (<0 = unlimited)
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # out positions
+]
+
+
+def memchr_short_o_scan(
+    text: np.ndarray,
+    pattern: bytes,
+    case_insensitive: bool,
+    whole_word: bool,
+    max_count: int | None,
+) -> np.ndarray:
+    """One-pass native memchr_short -o scan (krep.c:4371-4503) over a
+    contiguous uint8 array; returns kept start offsets (int64)."""
+    out = ctypes.POINTER(ctypes.c_int64)()
+    cnt = _lib.krep_memchr_short_o_scan(
+        np.ascontiguousarray(text, np.uint8),
+        text.shape[0],
+        pattern,
+        len(pattern),
+        int(case_insensitive),
+        int(whole_word),
+        -1 if max_count is None else max_count,
+        ctypes.byref(out),
+    )
+    try:
+        if cnt and out:
+            flat = np.ctypeslib.as_array(out, shape=(cnt,))
+            return np.array(flat, dtype=np.int64)
+        return np.zeros(0, np.int64)
+    finally:
+        if out:
+            _lib.krep_free(out)
+
 
 def regex_search(
     pattern: bytes,

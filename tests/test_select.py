@@ -94,3 +94,40 @@ def test_is_repetitive():
     assert is_repetitive_pattern(b"abaaba")  # period 3
     assert not is_repetitive_pattern(b"abcd")
     assert not is_repetitive_pattern(b"ab")
+
+
+def test_memchr_short_o_native_vs_numpy_fuzz():
+    """The native one-pass memchr_short -o scan (SWAR candidate blocks +
+    verify + quirky advance) must match the numpy fallback pipeline
+    byte-for-byte across cases, word mode, -m, and NUL-adjacent corners."""
+    import numpy as np
+
+    from krep_tpu.engine import search as sm
+    from krep_tpu.params import SearchParams
+
+    rng = np.random.default_rng(123)
+    alphas = [b"ab", b"aB\n x", b"the quick\nTHE_fox ", bytes([0, 1, 116, 84, 255, 10])]
+    checked = 0
+    for trial in range(200):
+        alpha = np.frombuffer(alphas[trial % len(alphas)], np.uint8)
+        text = bytes(rng.choice(alpha, size=int(rng.integers(1, 4000))))
+        m = int(rng.integers(2, 4))
+        if len(text) > m and rng.random() < 0.8:
+            s = int(rng.integers(0, len(text) - m))
+            patb = text[s : s + m]
+        else:
+            patb = bytes(rng.choice(alpha, size=m))
+        if b"\x00" in patb or not patb:
+            patb = b"ab"[:m].ljust(m, b"x")
+        p = SearchParams(
+            patterns=(patb,), only_matching=True,
+            case_sensitive=bool(rng.random() < 0.5),
+            whole_word=bool(rng.random() < 0.5),
+            max_count=int(rng.integers(0, 7)) if rng.random() < 0.3 else None,
+        )
+        rn = sm._memchr_short_o(p, text)
+        rp = sm._memchr_short_o(p, text, force_python=True)
+        assert rn.count == rp.count, (patb, p)
+        assert np.array_equal(rn.positions, rp.positions), (patb, p)
+        checked += 1
+    assert checked == 200
