@@ -225,12 +225,23 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
                  tile_r: int, want_stats: bool = False,
                  mask_kind: str = "starts", has_limit: bool = False,
-                 no_tail_guard: bool = False, want_count: bool = True):
+                 no_tail_guard: bool = False, want_count: bool = True,
+                 sub_r: int | None = None):
     """K patterns fused in one pass over the text: per-pattern packed match
     words, counts summed (Aho-Corasick totals — AC count == Σ per-pattern
     counts, test_multiple_patterns.c:345-471), union mask for line
-    accounting and host-side attribution."""
+    accounting and host-side attribution.
+
+    sub_r < tile_r processes the fetched block in tile_r//sub_r sequential
+    SUB-TILES inside one grid step: temporaries stay sub_r-sized (VMEM),
+    while the ~1.5-2us/step grid overhead amortizes over the whole block —
+    the overhead is ~30% of the light -c scan at 2048-row steps."""
     from .literal import fold_bytes_host
+
+    if sub_r is None:
+        sub_r = tile_r
+    assert tile_r % sub_r == 0
+    n_sub = tile_r // sub_r
 
     pats = tuple(
         p if case_sensitive else fold_bytes_host(p) for p in patterns
@@ -254,11 +265,17 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             scratch[4] = 0   # stats: a newline has been seen
             scratch[5] = 0   # stats: match in the leading segment (lead)
 
-        buf = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
+        buf_full = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
         if not case_sensitive:
-            buf = swar_fold(buf)
+            buf_full = swar_fold(buf_full)
 
-        shape = (tile_r, LANES)
+        for h in range(n_sub):
+            _sub_tile(i, h, buf_full, tl_ref, scratch,
+                      mask_ref if want_mask else None)
+
+    def _sub_tile(i, h, buf_full, tl_ref, scratch, mask_ref):
+        buf = buf_full[h * sub_r : (h + 1) * sub_r + H4]
+        shape = (sub_r, LANES)
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
 
@@ -269,7 +286,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
 
         def gbase_arr():
             if "g" not in gcache:
-                gcache["g"] = ((i * tile_r + row_idx) * LANES + lane_idx) * 4
+                gcache["g"] = (
+                    (i * tile_r + h * sub_r + row_idx) * LANES + lane_idx
+                ) * 4
             return gcache["g"]
         # start_limit: exclusive bound on match-START positions (and on
         # newline accounting) — the shard/slab "owned" region. Bytes in
@@ -292,11 +311,11 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 return ecache[t]
             rs, ls = divmod(t, LANES)
             if ls == 0:
-                v = _roll(buf, -rs, axis=0)[:tile_r] if rs else buf[:tile_r]
+                v = _roll(buf, -rs, axis=0)[:sub_r] if rs else buf[:sub_r]
             else:
                 rolled = _roll(buf, -ls, axis=1)
-                v0 = _roll(rolled, -rs, axis=0)[:tile_r] if rs else rolled[:tile_r]
-                v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
+                v0 = _roll(rolled, -rs, axis=0)[:sub_r] if rs else rolled[:sub_r]
+                v1 = _roll(rolled, -(rs + 1), axis=0)[:sub_r]
                 v = jnp.where(lane_idx < LANES - ls, v0, v1)
             if len(ecache) < E_CACHE_MAX:
                 ecache[t] = v
@@ -362,7 +381,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             ew_cache = {}
             if whole_word:
                 wcb = swar_word_flags(buf)
-                wc0 = wcb[:tile_r]
+                wc0 = wcb[:sub_r]
                 # before: flags shifted +1 byte; byte0 from previous element
                 L = _roll(wc0, 1, axis=1)
                 Uu = _roll(L, 1, axis=0)
@@ -372,7 +391,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                     at00, _U(0x1000000) * scratch[3].astype(jnp.uint32), prev_el
                 )
                 beforew = (wc0 << _U(8)) | (prev_el >> _U(24))
-                sel = (row_idx == tile_r - 1) & (lane_idx == LANES - 1)
+                sel = (row_idx == sub_r - 1) & (lane_idx == LANES - 1)
                 new_wc3 = jnp.max(
                     jnp.where(sel, (wc0 >> _U(24)).astype(jnp.int32), 0)
                 )
@@ -382,15 +401,15 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                         return ew_cache[t]
                     rs, ls = divmod(t, LANES)
                     if ls == 0:
-                        v = _roll(wcb, -rs, axis=0)[:tile_r] if rs else wc0
+                        v = _roll(wcb, -rs, axis=0)[:sub_r] if rs else wc0
                     else:
                         rolled = _roll(wcb, -ls, axis=1)
                         v0 = (
-                            _roll(rolled, -rs, axis=0)[:tile_r]
+                            _roll(rolled, -rs, axis=0)[:sub_r]
                             if rs
-                            else rolled[:tile_r]
+                            else rolled[:sub_r]
                         )
-                        v1 = _roll(rolled, -(rs + 1), axis=0)[:tile_r]
+                        v1 = _roll(rolled, -(rs + 1), axis=0)[:sub_r]
                         v = jnp.where(lane_idx < LANES - ls, v0, v1)
                     ew_cache[t] = v
                     return v
@@ -492,10 +511,10 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             EBw = B << _U(8)
             carry = scratch[2]
 
-            if tile_r % 256 == 0:
+            if sub_r % 256 == 0:
                 # bit-packed element scans: bit c of packed (r, l) = element
                 # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
-                Pr = tile_r // 32
+                Pr = sub_r // 32
                 Ae32 = (A >> _U(24)) & _U(1)
                 Be32 = (B >> _U(24)) & _U(1)
                 PA = Ae32[0:Pr]
@@ -551,15 +570,15 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 LEB = jnp.where(first_lane, 0, LEB)
                 RA = Ai[:, LANES - 1 :].astype(jnp.int32)
                 RB = Bi[:, LANES - 1 :].astype(jnp.int32)
-                ridx = _iota2((tile_r, 1), 0)
-                RAi, RBi = _seg_scan_rows(RA, RB, ridx, tile_r)
+                ridx = _iota2((sub_r, 1), 0)
+                RAi, RBi = _seg_scan_rows(RA, RB, ridx, sub_r)
                 RPA = _roll(RAi, 1, axis=0)
                 RPB = _roll(RBi, 1, axis=0)
                 first_row = ridx == 0
                 RPA = jnp.where(first_row, 1, RPA)
                 RPB = jnp.where(first_row, 0, RPB)
                 row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
-                last_row = ridx == tile_r - 1
+                last_row = ridx == sub_r - 1
                 a_tot = jnp.max(jnp.where(last_row, RAi, 0))
                 b_tot = jnp.max(jnp.where(last_row, RBi, 0))
                 sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
@@ -601,7 +620,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             new_wc3 = jnp.int32(0)
             if whole_word:
                 wc3 = (
-                    ((e0[tile_r - 1 :, LANES - 1 :] >> _U(24)) & _U(0xFF))
+                    ((e0[sub_r - 1 :, LANES - 1 :] >> _U(24)) & _U(0xFF))
                 )
                 x8 = wc3
                 w = (
@@ -612,7 +631,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 )
                 new_wc3 = jnp.max(w.astype(jnp.int32))
             if want_mask:
-                mword = jnp.zeros((tile_r, LANES), jnp.uint32)
+                mword = jnp.zeros((sub_r, LANES), jnp.uint32)
             else:
                 mword = jnp.zeros((1, 1), jnp.uint32)
             return jnp.int32(0), jnp.int32(0), new_carry, new_wc3, jnp.int32(0), mword
@@ -630,8 +649,9 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             scratch[5] = scratch[5] | ((1 - scratch[4]) * lead_tile)
             scratch[4] = scratch[4] | jnp.where(any_nl, 1, 0)
         if want_mask:
-            mask_ref[:] = mword
+            mask_ref[h * sub_r : (h + 1) * sub_r] = mword
 
+    def _finalize(i, count_ref, scratch):
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
             count_ref[0] = scratch[0]
@@ -640,7 +660,12 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             count_ref[3] = scratch[5]  # lead
             count_ref[4] = scratch[4]  # any newline seen
 
-    return kernel
+    def kernel_entry(tl_ref, main_ref, halo_ref, count_ref, *rest):
+        kernel(tl_ref, main_ref, halo_ref, count_ref, *rest)
+        scratch = rest[-1]
+        _finalize(pl.program_id(0), count_ref, scratch)
+
+    return kernel_entry
 
 
 def _pick_tile(R4: int, n_patterns: int = 1, light: bool = False) -> int:
@@ -717,7 +742,21 @@ def _scan_raw(
     R4 = rows_total - H4
     light = not want_mask and not whole_word
     tile_r = _pick_tile(R4, len(patterns), light)
-    T = R4 // tile_r
+    # Fetch-block multiplier (KREP_TPU_BLOCKMUL): fetch mult x tile_r rows
+    # per grid step and process them as sequential sub-tiles, keeping
+    # temporaries tile_r-sized in VMEM (monolithic 4096-row tiles fail to
+    # compile). MEASURED AND REJECTED as a default on v5e at 256 MiB:
+    # mult=2 170.0 vs mult=1 187.2 GB/s (config 1) — the larger
+    # double-buffered input block hurts more than the ~us/step grid
+    # overhead it amortizes; mult=4 overflows scoped VMEM. Kept at 1; the
+    # knob remains for re-measurement on other TPU generations.
+    block_r = tile_r
+    if light and len(patterns) <= 1:
+        mult = int(_os.environ.get("KREP_TPU_BLOCKMUL", "1"))
+        while mult > 1 and R4 % (tile_r * mult) != 0:
+            mult //= 2
+        block_r = tile_r * mult
+    T = R4 // block_r
     # Patterns beyond 64 bytes would unroll into hundreds of shifted-word
     # temporaries (Mosaic stack-allocates them in VMEM); callers route long
     # patterns through the prefix-filter + host-verify path instead — the
@@ -743,8 +782,8 @@ def _scan_raw(
     )
     kernel = _make_kernel(
         tuple(patterns), case_sensitive, whole_word, want_mask, want_lines,
-        tile_r, want_stats, mask_kind, has_limit,
-        no_tail_guard=no_tail_guard, want_count=want_count,
+        block_r, want_stats, mask_kind, has_limit,
+        no_tail_guard=no_tail_guard, want_count=want_count, sub_r=tile_r,
     )
 
     out_shape = [jax.ShapeDtypeStruct((8,), jnp.int32)]
@@ -752,17 +791,17 @@ def _scan_raw(
     if want_mask:
         out_shape.append(jax.ShapeDtypeStruct((R4, LANES), jnp.uint32))
         out_specs.append(
-            pl.BlockSpec((tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (H4, LANES),
-                lambda i, t: ((i + 1) * (tile_r // H4), 0),
+                lambda i, t: ((i + 1) * (block_r // H4), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

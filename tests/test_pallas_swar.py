@@ -261,3 +261,34 @@ def test_want_count_false_lines_exact():
     want = naive.all_starts(text, b"the")
     assert int(c) == 0
     assert int(l) == naive.matched_lines(text, want)
+
+
+def test_block_subtile_carry_exact(monkeypatch):
+    """Force the 2-sub-tile fetch block (KREP_TPU_TILE caps the sub size so
+    block = 2x sub) and check counts/lines across sub-tile and block
+    boundaries, incl. the line-state carry chaining through sub-tiles."""
+    monkeypatch.setenv("KREP_TPU_TILE", "128")
+    text = naive.gen_english(31, 256 * 1024)  # R4 = 2048 rows -> T = 8 blocks
+    st = dispatch.stage(text)
+    for pat in [b"the", b"e", b"quick"]:
+        c, l, _ = pallas_swar.scan_literal(
+            st.u32, st.true_len, pattern=pat, want_mask=False,
+            want_lines=True, interpret=True, assume_zero_tail=True,
+        )
+        want = naive.all_starts(text, pat)
+        assert int(c) == len(want), pat
+        assert int(l) == naive.matched_lines(text, want), pat
+    # a matched line spanning a sub-tile boundary must count once:
+    # sub = 128 rows = 64 KiB; put the only newlines far apart
+    body = bytearray(b" " * (256 * 1024))
+    body[65530:65533] = b"cat"   # just before the 64 KiB sub boundary
+    body[65540:65543] = b"cat"   # just after
+    body[100] = 0x0A
+    body[200_000] = 0x0A
+    text2 = bytes(body)
+    st2 = dispatch.stage(text2)
+    c, l, _ = pallas_swar.scan_literal(
+        st2.u32, st2.true_len, pattern=b"cat", want_mask=False,
+        want_lines=True, interpret=True,
+    )
+    assert int(c) == 2 and int(l) == 1
