@@ -47,6 +47,16 @@ from .dispatch import LANES
 
 SEG_WORDS = 1024          # words per segment row (4 KiB of text)
 SEG_PER_STEP = 32         # segment rows per grid step (128 KiB of text)
+# Segments per MXU dot (lane-concat of W blocks -> one (4Kp,128)@(128,gw)
+# dot). Measured and rejected as the default: an ISOLATED (4Kp,128)@
+# (128,1024) dot runs at only ~165 Top/s on v5e (pipeline fill/drain)
+# vs ~560 at N=4096, and a stage-decomposed kernel shows the dot stage
+# go 85 -> 142 GB/s at GSEG=4 — but the FULL K=64 kernel is flat
+# (11.4 -> 10.9 GB/s): inside the real loop the compiler already
+# software-pipelines the small dots behind the D-stage compare+sum,
+# which is the actual bottleneck. Kept as a knob for re-testing on
+# other TPU generations.
+GROUP_SEGS = max(1, int(__import__("os").environ.get("KREP_TPU_MXU_GSEG", "1")))
 MAX_LEN = 13              # p + len <= 16 stream bytes covered by 128 bits
 ROWS = 128                # contraction: 16 byte offsets x 8 bits
 
@@ -118,14 +128,16 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         lens = len_ref[:]
         bitmask = bm_ref[:]
 
+        # mask output stays per-segment (its packed rows are segment-major)
+        gseg = 1 if want_mask else GROUP_SEGS
+        while SPS % gseg:
+            gseg //= 2
+        gw = gseg * SEG_WORDS
+
         Kp = n_rows2 // 4
         if strict or has_limit:
-            r2idx = jax.lax.broadcasted_iota(
-                jnp.int32, (n_rows2, SEG_WORDS), 0
-            )
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (n_rows2, SEG_WORDS), 1
-            )
+            r2idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows2, gw), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows2, gw), 1)
             phase = r2idx // Kp
             start_limit = tl_ref[1] if has_limit else None
 
@@ -158,6 +170,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 
         dcount = jnp.int32(0)
         mrows = []
+        wgrp = []
         for s in range(SPS):
             # rows 0..31 read word w, 32..63 word w+1, ... (concat of
             # aligned 32-row broadcasts — cheaper than 128-row selects)
@@ -169,11 +182,17 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                 axis=0,
             )
             bits = (wsel & bitmask) != jnp.uint32(0)
-            W = bits.astype(jnp.int8)
+            wgrp.append(bits.astype(jnp.int8))
+            if len(wgrp) < gseg:
+                continue
+            # one dot per gseg segments: lane-concat (no relayout — W
+            # column c of the group is word (s0*1024 + c), contiguous)
+            W = wgrp[0] if gseg == 1 else jnp.concatenate(wgrp, axis=1)
+            wgrp = []
             D = jax.lax.dot_general(
                 G, W, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )                                            # (n_rows2, SEG_WORDS)
+            )                                            # (n_rows2, gw)
             hits = D == negbias
             if strict or has_limit:
                 # strict: bound match STARTS to [0, true_len - len + 1)
@@ -183,7 +202,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                 # scan_count). has_limit: bound starts to [0, start_limit)
                 # — the shard's OWNED region; halo bytes past it belong to
                 # the next shard (krep.c:2837-2846's chunk overlap).
-                word = (i * SPS + s) * SEG_WORDS + lane
+                word = (i * SPS + (s + 1 - gseg)) * SEG_WORDS + lane
                 start = word * 4 + phase
                 if strict:
                     hits = hits & (start < true_len - lens + 1)
