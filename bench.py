@@ -187,17 +187,28 @@ def config3(staged, n):
         i += 1
     pats64 = tuple(pats64)
 
-    # the routed production path (MXU bit-matmul from K=32 up)
+    # the routed production path (MXU bit-matmul from K=32 up). The CLI
+    # path runs non-strict (fresh staging zero-fills the tail); to time
+    # THAT kernel while still defeating dispatch caching with chained
+    # with_len(n-j) lengths, stage a copy whose last 16 bytes are zero —
+    # the zero-tail staging contract then genuinely holds for every
+    # j < 17 (chained_gbps K=17), so counts stay exact too. (strict=True
+    # on the shared buffer measured ~8% slower than production.)
+    from krep_tpu.ops import dispatch as dispatch_mod
     from krep_tpu.ops import multi as multi_mod
 
+    zdata = np.array(staged._np[:n])
+    zdata[-16:] = 0
+    staged_z = dispatch_mod.stage(zdata)
+    del zdata
+
     def run64(j):
-        # strict: with_len buffers hold live text past true_len, so the
-        # MXU kernel must mask start bounds explicitly
         return multi_mod.fused_count_device(
-            staged.with_len(n - j), pats64, True, False, strict=True
+            staged_z.with_len(n - j), pats64, True, False, strict=False
         )
 
     emit("64-literal multi-pattern count (config 3b, MXU route)", chained_gbps(run64, n))
+    del staged_z
 
 
 ING_WORDS = [b"jumping", b"singing", b"working", b"morning", b"nothing",

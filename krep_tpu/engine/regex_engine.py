@@ -277,6 +277,14 @@ def _candidate_line_ranges(arr: np.ndarray, starts: np.ndarray):
     """Distinct (line_start, line_end) ranges containing the given
     positions; line_end excludes the '\\n'."""
     n = arr.shape[0]
+    try:
+        from ..native import runtime as _nat
+    except Exception:
+        _nat = None
+    if _nat is not None:
+        # memrchr/memchr per candidate line — O(candidate-line bytes)
+        # instead of a full-text newline scan + per-start binary search
+        return _nat.line_ranges(arr, starts)
     nl = np.flatnonzero(arr == 10)
     li = np.unique(np.searchsorted(nl, starts, side="left"))
     ls = np.zeros(len(li), np.int64)

@@ -21,6 +21,8 @@ except Exception:  # pragma: no cover - extension not built
 
 def unpack_mask_host(packed: np.ndarray, n: int) -> np.ndarray:
     """packed uint8 bitmask → sorted positions of set bits."""
+    if _native is not None:
+        return _native.bits_to_starts(np.asarray(packed, dtype=np.uint8), n)
     bits = np.unpackbits(np.asarray(packed, dtype=np.uint8), bitorder="little")
     return np.flatnonzero(bits[:n])
 

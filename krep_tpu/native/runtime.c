@@ -450,3 +450,113 @@ int64_t krep_distinct_lines(const int64_t *starts, int64_t n,
     }
     return count;
 }
+
+/* Line numbers for SORTED match starts in one sequential text pass — the
+ * incremental counting of krep.c:656-677 at vectorized-printer scale
+ * (replaces a full newline-position array + per-match binary search,
+ * which is O(n) temp memory and cache-hostile at tens of millions of
+ * matches). out[i] = 1 + number of '\n' at positions < starts[i].
+ * Returns the offset of the LAST newline in text (-1 if none) so the
+ * caller can apply the reference's stale-lineno quirk (krep.c:621-653)
+ * to matches beyond it. */
+int64_t krep_linenos(const uint8_t *text, int64_t n,
+                     const int64_t *starts, int64_t k, int64_t *out)
+{
+    int64_t line = 1;
+    int64_t cur = 0;
+    for (int64_t i = 0; i < k; ++i) {
+        int64_t s = starts[i];
+        if (s > n)
+            s = n;
+        while (cur < s) {
+            const uint8_t *p =
+                memchr(text + cur, '\n', (size_t)(s - cur));
+            if (!p) {
+                cur = s;
+                break;
+            }
+            ++line;
+            cur = (int64_t)(p - text) + 1;
+        }
+        out[i] = line;
+    }
+    const uint8_t *lp = n > 0 ? memrchr(text, '\n', (size_t)n) : NULL;
+    return lp ? (int64_t)(lp - text) : -1;
+}
+
+/* Expand a little-endian bit-packed mask (the device's packed dense-mask
+ * readback, 8 positions/byte) to sorted set-bit positions. out == NULL:
+ * return the total popcount so the caller can size the output buffer.
+ * Positions >= limit are dropped (ascending, so expansion stops there).
+ * Replaces np.unpackbits + flatnonzero, which materialize the full n-byte
+ * bit array (seconds at 1 GiB). */
+int64_t krep_bits_to_starts(const uint8_t *packed, int64_t nbytes,
+                            int64_t limit, int64_t *out)
+{
+    int64_t k = 0;
+    int64_t nw = nbytes / 8;
+    if (!out) {
+        for (int64_t i = 0; i < nw; ++i) {
+            uint64_t v;
+            memcpy(&v, packed + i * 8, 8);
+            k += __builtin_popcountll(v);
+        }
+        for (int64_t i = nw * 8; i < nbytes; ++i)
+            k += __builtin_popcount(packed[i]);
+        return k;
+    }
+    for (int64_t i = 0; i < nw; ++i) {
+        uint64_t v;
+        memcpy(&v, packed + i * 8, 8);
+        int64_t base = i * 64;
+        while (v) {
+            int64_t p = base + __builtin_ctzll(v);
+            if (p >= limit)
+                return k;
+            out[k++] = p;
+            v &= v - 1;
+        }
+    }
+    for (int64_t i = nw * 8; i < nbytes; ++i) {
+        uint32_t b = packed[i];
+        int64_t base = i * 8;
+        while (b) {
+            int64_t p = base + __builtin_ctz(b);
+            if (p >= limit)
+                return k;
+            out[k++] = p;
+            b &= b - 1;
+        }
+    }
+    return k;
+}
+
+/* Distinct (line_start, line_end) ranges containing SORTED positions;
+ * line_end excludes the '\n'. out holds up to k (start, end) pairs.
+ * Touches only the candidate lines (memrchr back + memchr forward per
+ * distinct line) — O(candidate-line bytes), not a full-text newline scan.
+ * Returns the number of ranges. Matches the numpy formulation in
+ * engine/regex_engine.py::_candidate_line_ranges (a position AT a '\n'
+ * belongs to the line that newline terminates). */
+int64_t krep_line_ranges(const uint8_t *text, int64_t n,
+                         const int64_t *starts, int64_t k, int64_t *out)
+{
+    int64_t nr = 0;
+    int64_t last_end = -2; /* '\n' offset (or n) of the last emitted line */
+    for (int64_t i = 0; i < k; ++i) {
+        int64_t s = starts[i];
+        if (s >= n)
+            s = n ? n - 1 : 0;
+        if (nr && s <= last_end)
+            continue; /* same line as the previous candidate */
+        const uint8_t *ls = s > 0 ? memrchr(text, '\n', (size_t)s) : NULL;
+        int64_t lstart = ls ? (int64_t)(ls - text) + 1 : 0;
+        const uint8_t *le = memchr(text + s, '\n', (size_t)(n - s));
+        int64_t lend = le ? (int64_t)(le - text) : n;
+        out[2 * nr] = lstart;
+        out[2 * nr + 1] = lend;
+        ++nr;
+        last_end = lend;
+    }
+    return nr;
+}

@@ -58,6 +58,18 @@ _lib.krep_memchr_short_o_walk.argtypes = [
 ]
 _lib.krep_distinct_lines.restype = ctypes.c_int64
 _lib.krep_distinct_lines.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64]
+_lib.krep_linenos.restype = ctypes.c_int64
+_lib.krep_linenos.argtypes = [
+    _u8p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p,
+]
+_lib.krep_bits_to_starts.restype = ctypes.c_int64
+_lib.krep_bits_to_starts.argtypes = [
+    _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+]
+_lib.krep_line_ranges.restype = ctypes.c_int64
+_lib.krep_line_ranges.argtypes = [
+    _u8p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p,
+]
 
 
 class _RegexResult(ctypes.Structure):
@@ -235,6 +247,42 @@ def memchr_short_o_walk(
     out = np.empty_like(cands)
     k = _lib.krep_memchr_short_o_walk(cands, verified, word_ok, len(cands), m, out)
     return out[:k]
+
+
+def bits_to_starts(packed: np.ndarray, n: int) -> np.ndarray:
+    """Little-endian bit-packed mask → sorted set-bit positions < n, one
+    popcount pass to size + one ctz-expansion pass (no n-byte unpacked
+    temp)."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    cap = _lib.krep_bits_to_starts(packed, len(packed), n, None)
+    out = np.empty(int(cap), np.int64)
+    k = _lib.krep_bits_to_starts(
+        packed, len(packed), n, out.ctypes.data if cap else None
+    )
+    return out[:k]
+
+
+def line_ranges(text: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Distinct (line_start, line_end) pairs containing the SORTED
+    positions; end excludes the '\\n'. Touches only candidate lines."""
+    text = np.ascontiguousarray(text, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty((len(starts), 2), np.int64)
+    nr = _lib.krep_line_ranges(
+        text, text.shape[0], starts, len(starts), out.reshape(-1)
+    )
+    return out[:nr]
+
+
+def linenos(text: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, int]:
+    """1-based line numbers for SORTED start offsets, one sequential text
+    pass (krep.c:656-677's incremental counting). Returns (linenos int64,
+    last_newline_offset or -1)."""
+    text = np.ascontiguousarray(text, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty(len(starts), np.int64)
+    last_nl = _lib.krep_linenos(text, text.shape[0], starts, len(starts), out)
+    return out, int(last_nl)
 
 
 def distinct_lines(starts: np.ndarray, newlines: np.ndarray) -> int:

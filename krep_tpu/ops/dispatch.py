@@ -259,13 +259,24 @@ def _group_counts(mask2d):
 @jax.jit
 def _pack_mask_bits(mask_words):
     """u32 mask words (0x01-bytes, little-endian byte order) → bit-packed
-    uint8, 8 text positions per byte. 8x less device→host transfer for
-    DENSE masks (positions-at-scale -o queries)."""
-    u8 = jax.lax.bitcast_convert_type(
-        mask_words.reshape(-1, 2), jnp.uint8
-    ).reshape(-1, 8)
-    w = (2 ** np.arange(8, dtype=np.uint8)).reshape(1, 8)
-    return jnp.sum(u8 * w, axis=1).astype(jnp.uint8)
+    uint8, 8 text positions per byte (position 8j+b = bit b of flat byte
+    j). 8x less device→host transfer for DENSE masks (positions-at-scale
+    -o queries).
+
+    Implementation stays lane-local on a (M/128, 128) view: word → 4-bit
+    nibble by one SWAR multiply (byte 3 of w*0x01020408 = b0+2b1+4b2+8b3,
+    byte sums ≤ 15 so no carries), then a 3-step roll/shift combine puts
+    the 8 nibbles of lanes 8q..8q+7 into lane 8q, and a stride-8 lane
+    slice extracts them. TPU tiled layouts pad a trailing dim to 128
+    lanes, so the obvious (-1, 2) word-pairing reshape materializes a
+    64x-padded intermediate — 64 GiB of HBM for a 1 GiB text's mask."""
+    a = mask_words.reshape(-1, LANES)
+    nib = (a * jnp.uint32(0x01020408)) >> jnp.uint32(24)
+    p = nib | (jnp.roll(nib, -1, axis=1) << jnp.uint32(4))
+    p = p | (jnp.roll(p, -2, axis=1) << jnp.uint32(8))
+    p = p | (jnp.roll(p, -4, axis=1) << jnp.uint32(16))
+    g = p[:, ::8]                       # (M/128, 16) packed u32
+    return jax.lax.bitcast_convert_type(g, jnp.uint8).reshape(-1)
 
 
 GROUP_WORDS = 16384  # 64 KiB of text per group
@@ -273,11 +284,17 @@ GROUP_WORDS = 16384  # 64 KiB of text per group
 
 def _starts_via_packed_bits(mask_dev, n: int) -> np.ndarray:
     """Dense-mask readback: pack 0/1 bytes to bits ON DEVICE, transfer n/8
-    bytes, unpack host-side (C-speed np.unpackbits)."""
-    if mask_dev.size % 2:
+    bytes, expand host-side (native ctz walk; np.unpackbits fallback)."""
+    if mask_dev.size % LANES:
         mk = np.asarray(mask_dev).view(np.uint8)
         return np.flatnonzero(mk[:n]).astype(np.int64)
     packed = np.asarray(_pack_mask_bits(mask_dev))
+    try:
+        from ..native import runtime as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        return _native.bits_to_starts(packed, n)
     bits = np.unpackbits(packed, bitorder="little", count=n)
     return np.flatnonzero(bits).astype(np.int64)
 

@@ -16,6 +16,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from ..native import runtime as _native
+except Exception:  # pragma: no cover - toolchain-less environments
+    _native = None
+
 BATCH_BYTES = 8 * 1024 * 1024  # output batch size (krep.c:520)
 
 RESET = b"\033[0m"
@@ -50,7 +55,6 @@ def print_only_matching(
 ):
     """-o mode: [FILE:]LINENO:MATCH per match (krep.c:517-793)."""
     buf = _as_bytes(text)
-    nl = newline_positions(buf)
     if len(positions) and buf.shape[0] > 0:
         # the reference skips matches starting at/after text end (a
         # zero-length regex match after the final '\n') and clamps ends
@@ -70,21 +74,29 @@ def print_only_matching(
     if len(positions) == 0:
         return
     starts = positions[:, 0]
-    linenos = np.searchsorted(nl, starts, side="left") + 1
-    if len(positions) > 10 and len(nl) > 0:
+    if _native is not None:
+        # one sequential text pass (starts are reference-sorted); no
+        # newline-position array, no per-match binary search — those cost
+        # tens of seconds at tens of millions of matches
+        linenos, last_nl = _native.linenos(buf, starts)
+    else:
+        nl = newline_positions(buf)
+        linenos = np.searchsorted(nl, starts, side="left") + 1
+        last_nl = int(nl[-1]) if len(nl) else -1
+    if len(positions) > 10 and last_nl >= 0:
         # Reproduce the reference's binary-search quirk (krep.c:621-653):
         # for a match beyond the LAST newline the search exits without
         # updating its index, so such matches inherit the previous match's
         # line index (stale), not the true final line number.
-        beyond = starts > int(nl[-1])
+        beyond = starts > last_nl
         if beyond.any():
             not_beyond = ~beyond
-            stale = (
-                int(np.searchsorted(nl, int(starts[not_beyond][-1]), side="left"))
-                if not_beyond.any()
-                else 0
+            # stale line index = the last not-beyond match's own lineno
+            linenos = np.where(
+                beyond,
+                int(linenos[not_beyond][-1]) if not_beyond.any() else 1,
+                linenos,
             )
-            linenos = np.where(beyond, stale + 1, linenos)
 
     fn = filename.encode() if filename is not None else None
     if not color and len(positions) > 4096:
@@ -126,17 +138,20 @@ def _render_records(buf, starts, lnums, d, L, fn_arr):
     if fn_arr is not None:
         rec[:, :pre] = fn_arr
         col = pre
-    v = lnums.copy()
+    # uint32 divmod is ~7x faster than int64 at tens of millions of rows;
+    # the strided uint8 column assignment casts in the same pass
+    v = lnums.astype(np.uint32 if lnums[-1:].max(initial=0) < 1 << 32 else np.int64)
     for j in range(d - 1, -1, -1):
         rec[:, col + j] = 0x30 + (v % 10)
         v //= 10
     col += d
     rec[:, col] = 0x3A  # ':'
     col += 1
-    if L:
-        body = buf[starts[:, None] + np.arange(L)]
-        body = np.where(body == 10, 32, body)  # '\n' → ' ' (krep.c:736)
-        rec[:, col : col + L] = body
+    # per-column 1D gathers: a 2D fancy index materializes a (k, L) int64
+    # index matrix first (gigabytes at scale)
+    for j in range(L):
+        cj = buf[starts + j]
+        rec[:, col + j] = np.where(cj == 10, 32, cj)  # '\n' → ' ' (krep.c:736)
     rec[:, -1] = 0x0A
     return rec
 
@@ -165,7 +180,14 @@ def _print_only_matching_vectorized(out, buf, positions, linenos, fn):
     for i0, i1 in zip(bounds[:-1], bounds[1:]):
         d = len(str(int(ln[i0])))
         run_lens = mlens[i0:i1]
-        uniq = np.unique(run_lens)
+        # min==max probe instead of np.unique: no sort at tens of millions
+        # of rows for the common single-literal case
+        lo = int(run_lens.min(initial=0))
+        uniq = (
+            np.array([lo])
+            if lo == int(run_lens.max(initial=0))
+            else np.unique(run_lens)
+        )
         if len(uniq) == 1:
             rec = _render_records(
                 buf, starts[i0:i1], ln[i0:i1], d, int(uniq[0]), fn_arr

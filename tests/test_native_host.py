@@ -1,0 +1,79 @@
+"""Parity of the native host post-pass helpers against their numpy
+formulations (the fallback implementations). These helpers exist because
+the numpy versions cost tens of seconds at positions-at-scale volumes
+(BENCH_NOTES.md round 3): krep_linenos replaces a full newline-position
+array + per-match binary search (krep.c:656-677's incremental counting),
+krep_bits_to_starts replaces np.unpackbits + flatnonzero, and
+krep_line_ranges replaces a full-text newline scan in the regex
+prefilter (krep.c:363-415's line finding, per candidate)."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("krep_tpu.native.runtime")
+
+
+def _rand_text(rng, n, nl_p=0.05):
+    arr = rng.integers(32, 127, n, dtype=np.uint8)
+    arr[rng.random(n) < nl_p] = 10
+    return arr
+
+
+def test_linenos_matches_searchsorted():
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 37, 1000, 65536):
+        text = _rand_text(rng, n)
+        k = min(n, 257)
+        starts = np.sort(rng.integers(0, max(n, 1), k).astype(np.int64))
+        got, last_nl = native.linenos(text, starts)
+        nl = np.flatnonzero(text == 10)
+        want = np.searchsorted(nl, starts, side="left") + 1
+        assert np.array_equal(got, want), n
+        assert last_nl == (int(nl[-1]) if len(nl) else -1)
+
+
+def test_linenos_start_at_newline_and_past_end():
+    text = np.frombuffer(b"ab\ncd\n", np.uint8)
+    starts = np.array([0, 2, 3, 5, 6, 99], np.int64)
+    got, last_nl = native.linenos(text, starts)
+    # a start AT a '\n' belongs to the line it terminates ('left' search)
+    assert got.tolist() == [1, 1, 2, 2, 3, 3]
+    assert last_nl == 5
+
+
+def test_bits_to_starts_matches_unpackbits():
+    rng = np.random.default_rng(12)
+    for nbytes in (0, 1, 7, 8, 9, 4096, 40001):
+        packed = rng.integers(0, 256, nbytes, dtype=np.uint8)
+        for n in (0, 3, nbytes * 8 - 5, nbytes * 8):
+            if n < 0:
+                continue
+            got = native.bits_to_starts(packed, n)
+            bits = np.unpackbits(packed, bitorder="little")
+            want = np.flatnonzero(bits[:n]).astype(np.int64)
+            assert np.array_equal(got, want), (nbytes, n)
+
+
+def test_line_ranges_matches_numpy():
+    rng = np.random.default_rng(13)
+    for n in (1, 29, 1000, 65536):
+        arr = _rand_text(rng, n, nl_p=0.08)
+        k = min(n, 301)
+        starts = np.unique(rng.integers(0, n, k).astype(np.int64))
+        got = native.line_ranges(arr, starts)
+        nl = np.flatnonzero(arr == 10)
+        li = np.unique(np.searchsorted(nl, starts, side="left"))
+        ls = np.zeros(len(li), np.int64)
+        p = li > 0
+        ls[p] = nl[li[p] - 1] + 1
+        le = np.full(len(li), n, np.int64)
+        inb = li < len(nl)
+        le[inb] = nl[li[inb]]
+        want = np.stack([ls, le], axis=1)
+        assert np.array_equal(got, want), n
+
+
+def test_line_ranges_no_trailing_newline():
+    arr = np.frombuffer(b"abc\ndef", np.uint8)
+    got = native.line_ranges(arr, np.array([1, 5], np.int64))
+    assert got.tolist() == [[0, 3], [4, 7]]
