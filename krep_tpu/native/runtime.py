@@ -70,6 +70,11 @@ _lib.krep_line_ranges.restype = ctypes.c_int64
 _lib.krep_line_ranges.argtypes = [
     _u8p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p,
 ]
+_lib.krep_render_only_matching.restype = ctypes.c_int64
+_lib.krep_render_only_matching.argtypes = [
+    _u8p, ctypes.c_int64, _i64p, ctypes.c_int64,
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+]
 
 
 class _RegexResult(ctypes.Structure):
@@ -272,6 +277,27 @@ def line_ranges(text: np.ndarray, starts: np.ndarray) -> np.ndarray:
         text, text.shape[0], starts, len(starts), out.reshape(-1)
     )
     return out[:nr]
+
+
+def render_only_matching(
+    text: np.ndarray, positions: np.ndarray, filename: bytes | None, fd: int
+) -> int:
+    """Stream the no-color -o record stream for SORTED (start, end) pairs
+    to a file descriptor in one C pass (incremental linenos + 8 MB batch
+    writes, krep.c:517-793). Returns records written, -1 on write error."""
+    text = np.ascontiguousarray(text, np.uint8)
+    positions = np.ascontiguousarray(positions, np.int64)
+    return int(
+        _lib.krep_render_only_matching(
+            text,
+            text.shape[0],
+            positions.reshape(-1),
+            len(positions),
+            filename,
+            len(filename) if filename is not None else 0,
+            fd,
+        )
+    )
 
 
 def linenos(text: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, int]:

@@ -74,6 +74,19 @@ def print_only_matching(
     if len(positions) == 0:
         return
     starts = positions[:, 0]
+    fn = filename.encode() if filename is not None else None
+    if not color and len(positions) > 4096 and _native is not None:
+        try:
+            fd = out.fileno()
+        except (AttributeError, OSError):
+            fd = None
+        if fd is not None:
+            # one C pass straight to the fd: incremental linenos + itoa +
+            # body copy at memcpy speed (krep.c:517-793) — skips the
+            # host-side lineno arrays entirely
+            out.flush()
+            _native.render_only_matching(buf, positions, fn, fd)
+            return
     if _native is not None:
         # one sequential text pass (starts are reference-sorted); no
         # newline-position array, no per-match binary search — those cost
@@ -98,7 +111,6 @@ def print_only_matching(
                 linenos,
             )
 
-    fn = filename.encode() if filename is not None else None
     if not color and len(positions) > 4096:
         _print_only_matching_vectorized(out, buf, positions, linenos, fn)
         return

@@ -77,3 +77,66 @@ def test_line_ranges_no_trailing_newline():
     arr = np.frombuffer(b"abc\ndef", np.uint8)
     got = native.line_ranges(arr, np.array([1, 5], np.int64))
     assert got.tolist() == [[0, 3], [4, 7]]
+
+
+def _py_render(buf, positions, fname):
+    import io
+    from krep_tpu.output import printer
+
+    out = io.BytesIO()  # BytesIO has no fileno -> python vectorized path
+    printer.print_only_matching(out, buf, positions, fname, False)
+    return out.getvalue()
+
+
+def _c_render(buf, positions, fname, tmp_path):
+    from krep_tpu.output import printer
+
+    p = tmp_path / "out.bin"
+    with open(p, "wb") as f:
+        printer.print_only_matching(f, buf, positions, fname, False)
+    return p.read_bytes()
+
+
+def test_render_only_matching_fd_parity(tmp_path):
+    rng = np.random.default_rng(21)
+    n = 200_000
+    buf = _rand_text(rng, n, nl_p=0.03)
+    starts = np.sort(rng.choice(n - 8, 6000, replace=False)).astype(np.int64)
+    lens = rng.integers(1, 8, len(starts))
+    positions = np.stack([starts, starts + lens], axis=1)
+    for fname in (None, "some/file.txt"):
+        want = _py_render(buf, positions, fname)
+        got = _c_render(buf, positions, fname, tmp_path)
+        assert got == want, fname
+        assert b"\n:" not in want.split(b":", 1)[1][:0]  # sanity no-op
+
+
+def test_render_only_matching_fd_quirk_and_span_newlines(tmp_path):
+    # matches past the last newline must inherit the stale lineno, and
+    # '\n' inside a span renders as ' ' (krep.c:736, 621-653)
+    rng = np.random.default_rng(22)
+    body = _rand_text(rng, 120_000, nl_p=0.05)
+    tail = np.frombuffer(b"tail-without-newline" * 400, np.uint8)
+    buf = np.concatenate([body, tail])
+    n = len(buf)
+    starts = np.sort(
+        rng.choice(n - 30, 5500, replace=False)
+    ).astype(np.int64)
+    positions = np.stack([starts, starts + 25], axis=1)  # spans cross '\n'
+    want = _py_render(buf, positions, None)
+    got = _c_render(buf, positions, None, tmp_path)
+    assert got == want
+
+
+def test_render_only_matching_fd_huge_match(tmp_path):
+    # a single match longer than the 8 MB batch buffer streams in chunks
+    rng = np.random.default_rng(23)
+    buf = _rand_text(rng, 9_500_000, nl_p=0.001)
+    positions = np.zeros((4101, 2), np.int64)
+    positions[:, 0] = np.arange(4101)
+    positions[:, 1] = positions[:, 0] + 5
+    positions[-1] = (100, 9_100_000)  # 9.1 MB span
+    positions = positions[np.argsort(positions[:, 0], kind="stable")]
+    want = _py_render(buf, positions, "f")
+    got = _c_render(buf, positions, "f", tmp_path)
+    assert got == want
