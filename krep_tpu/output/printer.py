@@ -85,7 +85,10 @@ def print_only_matching(
             # body copy at memcpy speed (krep.c:517-793) — skips the
             # host-side lineno arrays entirely
             out.flush()
-            _native.render_only_matching(buf, positions, fn, fd)
+            if _native.render_only_matching(buf, positions, fn, fd) < 0:
+                # C pass reports write failure as -1; surface it the same
+                # way the buffered python path would (cli.py catches it)
+                raise BrokenPipeError(32, "write failed in -o render")
             return
     if _native is not None:
         # one sequential text pass (starts are reference-sorted); no

@@ -140,3 +140,28 @@ def test_render_only_matching_fd_huge_match(tmp_path):
     want = _py_render(buf, positions, "f")
     got = _c_render(buf, positions, "f", tmp_path)
     assert got == want
+
+
+def test_render_only_matching_closed_pipe_raises():
+    # the C pass reports a failed write() as -1; the printer must surface
+    # it as BrokenPipeError so cli.main exits 0 like the buffered path
+    import os
+
+    import pytest
+
+    from krep_tpu.output import printer
+
+    rng = np.random.default_rng(24)
+    buf = _rand_text(rng, 50_000, nl_p=0.03)
+    starts = np.sort(rng.choice(49_000, 5000, replace=False)).astype(np.int64)
+    positions = np.stack([starts, starts + 3], axis=1)
+    r, w = os.pipe()
+    os.close(r)
+    import signal
+
+    old = signal.signal(signal.SIGPIPE, signal.SIG_IGN)
+    try:
+        with open(w, "wb", buffering=0) as f, pytest.raises(BrokenPipeError):
+            printer.print_only_matching(f, buf, positions, None, False)
+    finally:
+        signal.signal(signal.SIGPIPE, old)
