@@ -444,19 +444,12 @@ def _probe_tpu(timeout_s: float = 150.0, tries: int = 2) -> bool:
     The axon-tunneled chip can be down or hang at client init for minutes;
     probing in a subprocess keeps THIS process clean so it can still fall
     back to CPU and emit an honest (tagged) JSON line instead of hanging
-    the driver."""
-    for _ in range(tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
-                timeout=timeout_s, capture_output=True,
-            )
-            if r.returncode == 0 and b"ok" in r.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-    return False
+    the driver. One implementation, shared with the mesh's
+    guard_default_backend (bench wants a longer budget than the mesh's
+    default, hence the explicit args)."""
+    from krep_tpu.parallel.mesh import _default_backend_initializes
+
+    return _default_backend_initializes(timeout_s, tries)
 
 
 def main():

@@ -218,7 +218,9 @@ def _union_literal_starts(
 
     n = arr.shape[0]
     literals = tuple(literals)
-    if jax.device_count() > 1 and n >= (1 << 16):
+    from ..parallel.mesh import safe_device_count
+
+    if safe_device_count() > 1 and n >= (1 << 16):
         from ..parallel import mesh
 
         _, _, starts = mesh.sharded_scan(
@@ -273,13 +275,16 @@ def _union_literal_starts(
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
-def _candidate_line_ranges(arr: np.ndarray, starts: np.ndarray):
+def _candidate_line_ranges(arr: np.ndarray, starts: np.ndarray,
+                           force_python: bool = False):
     """Distinct (line_start, line_end) ranges containing the given
     positions; line_end excludes the '\\n'."""
     n = arr.shape[0]
     try:
         from ..native import runtime as _nat
     except Exception:
+        _nat = None
+    if force_python:
         _nat = None
     if _nat is not None:
         # memrchr/memchr per candidate line — O(candidate-line bytes)
@@ -301,8 +306,9 @@ def _search_regex_filtered(params: SearchParams, data: bytes, literals,
     """Device literal prefilter + exact regexec over candidate lines only.
     Returns None when the candidate set is too dense to pay off (caller
     falls back to the parallel/sequential full-text engines).
-    force_python skips the native C ranges loop — used by tests to pin the
-    ctypes fallback against it."""
+    force_python skips BOTH native C stages (the line-range builder and
+    the ranges regexec loop) — used by tests to pin the pure-python
+    fallbacks against them."""
     from .search import SearchResult, _EMPTY_POS
 
     n = len(data)
@@ -319,7 +325,7 @@ def _search_regex_filtered(params: SearchParams, data: bytes, literals,
     starts = _union_literal_starts(arr, literals, params.case_sensitive)
     if len(starts) == 0:
         return SearchResult(0, _EMPTY_POS, n)
-    ranges = _candidate_line_ranges(arr, starts)
+    ranges = _candidate_line_ranges(arr, starts, force_python=force_python)
     if 2 * int((ranges[:, 1] - ranges[:, 0]).sum()) >= n:
         return None  # dense: the full-text engines win
 

@@ -305,10 +305,11 @@ def _mesh_for_threads(threads: int | None):
     uses every device (the reference's online-cores default,
     krep.c:2729-2762); an explicit -t caps the shard count the same way the
     reference caps its chunk threads."""
-    import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
+    from ..parallel.mesh import safe_devices
+
+    devs = safe_devices()
     d = len(devs) if threads is None else max(1, min(threads, len(devs)))
     return Mesh(np.array(devs[:d]), ("data",))
 
@@ -378,9 +379,9 @@ def _search_single_literal_longpat(params: SearchParams, text, policy) -> Search
     # depends on the full length, so defer word filtering to the host
     prefix = params.pattern[:LONG_PATTERN]
 
-    import jax
+    from ..parallel.mesh import safe_device_count
 
-    if jax.device_count() > 1 and n >= (1 << 16):
+    if safe_device_count() > 1 and n >= (1 << 16):
         # multi-chip: the prefix filter shards across the mesh like any
         # short literal (krep.c:2851-2905); host verification below is
         # unchanged
@@ -478,9 +479,9 @@ def _search_single_literal(
     policy = sel.policy(params.only_matching)
     max_count = params.max_count
 
-    import jax
+    from ..parallel.mesh import safe_device_count
 
-    if jax.device_count() > 1 and n >= (1 << 16) and threads != 1:
+    if safe_device_count() > 1 and n >= (1 << 16) and threads != 1:
         # multi-chip: shard bytes across the mesh (the reference's thread
         # pool analogue, krep.c:2851-2905); -t 1 forces the single-device
         # path like the reference's inline single-chunk run (krep.c:2764)

@@ -333,8 +333,10 @@ done:
  * reference's quirky advance is applied in-stream — matched or
  * failed-verify candidates skip pattern_len bytes, whole-word rejections
  * skip one. Replaces a numpy pipeline whose random gathers at ~77M
- * candidates/GiB ran ~50x slower. Returns #kept; *out_pos is a malloc'd
- * start-offset array (krep_free releases). max_count < 0 = unlimited. */
+ * candidates/GiB ran ~50x slower. Returns #kept, or -1 on allocation
+ * failure (the wrapper raises; a silent 0 would masquerade as no-match);
+ * *out_pos is a malloc'd start-offset array (krep_free releases).
+ * max_count < 0 = unlimited. */
 int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
                                  const uint8_t *pat, int64_t m,
                                  int case_insensitive, int whole_word,
@@ -357,7 +359,7 @@ int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
     int64_t cap = 4096, cnt = 0;
     int64_t *buf = malloc((size_t)cap * sizeof *buf);
     if (!buf)
-        return 0;
+        return -1;
     int64_t pos = 0;
     int64_t last_start = n - m; /* inclusive */
     /* u64-SWAR candidate detection: at english-like densities (~7% 't')
@@ -422,7 +424,7 @@ int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
                 if (!nb) {
                     free(buf);
                     *out_pos = NULL;
-                    return 0;
+                    return -1;
                 }
                 buf = nb;
             }

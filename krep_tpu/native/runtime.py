@@ -150,6 +150,8 @@ def memchr_short_o_scan(
         ctypes.byref(out),
     )
     try:
+        if cnt < 0:
+            raise MemoryError("krep_memchr_short_o_scan: allocation failed")
         if cnt and out:
             flat = np.ctypeslib.as_array(out, shape=(cnt,))
             return np.array(flat, dtype=np.int64)

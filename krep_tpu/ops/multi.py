@@ -449,9 +449,9 @@ def search_multi(
     if not patterns or n == 0:
         return SearchResult(0, _EMPTY_POS, n)
 
-    import jax
+    from ..parallel.mesh import safe_device_count
 
-    D = jax.device_count()
+    D = safe_device_count()
     eff_d = D if threads is None else max(1, min(threads, D))
     per_shard = -(-n // eff_d)
     if (

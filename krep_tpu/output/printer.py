@@ -197,10 +197,13 @@ def _print_only_matching_vectorized(out, buf, positions, linenos, fn):
         run_lens = mlens[i0:i1]
         # min==max probe instead of np.unique: no sort at tens of millions
         # of rows for the common single-literal case
-        lo = int(run_lens.min(initial=0))
+        # the i0:i1 slice is non-empty by construction (bounds are strictly
+        # increasing), so no `initial=` guard — an initial of 0 would make
+        # min() return 0 for every nonzero length and defeat the probe
+        lo = int(run_lens.min())
         uniq = (
             np.array([lo])
-            if lo == int(run_lens.max(initial=0))
+            if lo == int(run_lens.max())
             else np.unique(run_lens)
         )
         if len(uniq) == 1:

@@ -13,6 +13,9 @@ line accounting returns per-shard stats that a tiny host combiner merges
 from __future__ import annotations
 
 import functools
+import os
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -343,7 +346,7 @@ def sharded_count(
     — the caller routes). The multi-chip analogue of fused_count_device."""
     patterns = tuple(patterns)
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(safe_devices())
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
@@ -389,7 +392,7 @@ def sharded_scan(
     patterns = tuple(patterns)
     m_max = max(len(p) for p in patterns)
     if mesh is None:
-        devs = np.array(jax.devices())
+        devs = np.array(safe_devices())
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
@@ -465,13 +468,133 @@ def sharded_counts(
     return c, l
 
 
+_PROBE_CODE = "import jax; jax.devices(); print('ok')"
+_guarded = False
+# Disk-cached probe verdicts so repeated CLI invocations don't re-pay the
+# subprocess: a healthy verdict is trusted for 10 minutes, an outage
+# verdict for 2 (so recovery is noticed quickly). Keyed by platform env +
+# probe code so tests with injected probe code never poison real runs.
+_PROBE_TTL_OK = 600.0
+_PROBE_TTL_BAD = 120.0
+
+
+def _probe_cache_path(code: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha1(
+        (os.environ.get("JAX_PLATFORMS", "") + "\0" + code).encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"krep_tpu_probe_{key}")
+
+
+def _default_backend_initializes(timeout_s: float, tries: int) -> bool:
+    """True iff the default jax backend enumerates in a bounded time in a
+    fresh subprocess of this environment. The axon-tunneled TPU client can
+    HANG at init (not just raise) during an outage; probing out-of-process
+    keeps this process free to fall back."""
+    import time
+
+    code = os.environ.get("KREP_TPU_PROBE_CODE", _PROBE_CODE)
+    cache = _probe_cache_path(code)
+    try:
+        with open(cache) as f:
+            verdict = f.read().strip()
+        age = time.time() - os.stat(cache).st_mtime
+        if verdict == "ok" and age < _PROBE_TTL_OK:
+            return True
+        if verdict == "bad" and age < _PROBE_TTL_BAD:
+            return False
+    except OSError:
+        pass
+    ok = False
+    for _ in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0 and b"ok" in r.stdout:
+                ok = True
+                break
+        except subprocess.TimeoutExpired:
+            pass
+    try:
+        tmp = cache + f".{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("ok" if ok else "bad")
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return ok
+
+
+def guard_default_backend() -> None:
+    """Bound the first default-backend touch of this process.
+
+    `jax.devices()` initializes every discovered platform; when the
+    tunneled TPU client hangs at init (the round-3 outage mode — distinct
+    from the raise-at-transfer skew of MULTICHIP_r01/r02), any caller
+    hangs with it, including the driver's `dryrun_multichip`. If no
+    platform was explicitly chosen and no backend is up yet, probe the
+    default backend in a bounded subprocess (bench.py does the same) and
+    on failure pin this process to the CPU platform before jax ever
+    touches the plugin."""
+    global _guarded
+    if _guarded or os.environ.get("KREP_TPU_NO_BACKEND_PROBE"):
+        return
+    _guarded = True
+    # An explicit platform setting does NOT remove the hazard: the driver
+    # environment exports JAX_PLATFORMS=<tpu plugin>, and it is precisely
+    # that plugin's client init that hangs during an outage. Only an
+    # explicit cpu-first choice is hazard-free.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    try:
+        if jax.config.jax_platforms:
+            plats = jax.config.jax_platforms
+    except Exception:
+        pass
+    if plats.split(",")[0].strip().lower() == "cpu":
+        return  # host platform first: no remote client init to hang
+    try:
+        from jax._src import xla_bridge as xb
+
+        if getattr(xb, "_backends", None):
+            return  # a backend already initialized in-process: healthy
+    except Exception:
+        pass
+    timeout_s = float(os.environ.get("KREP_TPU_PROBE_TIMEOUT", "75"))
+    tries = int(os.environ.get("KREP_TPU_PROBE_TRIES", "2"))
+    if not _default_backend_initializes(timeout_s, tries):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+def safe_devices():
+    """`jax.devices()` behind the bounded outage guard — every production
+    enumeration site goes through here (or safe_device_count) so a hanging
+    tunnel client degrades to the CPU platform instead of wedging the
+    process."""
+    guard_default_backend()
+    return jax.devices()
+
+
+def safe_device_count() -> int:
+    guard_default_backend()
+    return jax.device_count()
+
+
 def pick_devices(n_devices: int):
     """Select n healthy devices for the mesh. The default platform may be a
     single real TPU chip or an unhealthy tunnel client (libtpu client/terminal
-    version skew surfaces at device_put, not at enumeration), while the
-    driver validates multi-chip on a virtual CPU mesh
+    version skew surfaces at device_put, not at enumeration; a full outage
+    HANGS client init, hence guard_default_backend's bounded probe), while
+    the driver validates multi-chip on a virtual CPU mesh
     (--xla_force_host_platform_device_count). Probe the default backend and
     fall back to jax.devices('cpu') when it can't provide n working devices."""
+    guard_default_backend()
     try:
         devs = jax.devices()
         if len(devs) >= n_devices:

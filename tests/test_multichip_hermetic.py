@@ -49,6 +49,47 @@ print("POISONED_DRYRUN_OK")
 """
 
 
+HANG_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import __graft_entry__
+__graft_entry__.dryrun_multichip(8)
+print("HANGPROBE_DRYRUN_OK")
+"""
+
+
+def test_dryrun_survives_hanging_default_backend(tmp_path):
+    """Round-3 outage mode: the tunneled TPU client HANGS at init (vs the
+    raise of r01/r02). The dryrun must probe the default backend in a
+    bounded subprocess and pin the process to CPU instead of hanging the
+    driver. Simulated by forcing the probe's child code to sleep past a
+    tiny timeout — deterministic whether or not this host's default
+    backend is healthy."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the driver does not set it
+    env.pop("KREP_TPU_NO_BACKEND_PROBE", None)
+    env["KREP_TPU_PROBE_CODE"] = "import time; time.sleep(600)"
+    env["KREP_TPU_PROBE_TIMEOUT"] = "2"
+    env["KREP_TPU_PROBE_TRIES"] = "1"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    script = tmp_path / "hang_dryrun.py"
+    script.write_text(HANG_SCRIPT.format(repo=repo))
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "HANGPROBE_DRYRUN_OK" in proc.stdout
+
+
 def test_dryrun_survives_poisoned_default_backend(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
