@@ -163,6 +163,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         elif o in ("-v", "--version"):
             import jax
 
+            from .parallel.mesh import guard_default_backend
+
+            guard_default_backend()
             out.write(
                 f"krep-tpu v{__version__}\nbackend: {jax.default_backend()}\n".encode()
             )

@@ -30,7 +30,12 @@ def _cpu_backend() -> bool:
     )
     if hint:
         return "cpu" in hint
-    try:  # no explicit platform: resolve the default backend
+    try:  # no explicit platform: resolve the default backend (behind the
+        # bounded outage guard — this runs at import time and a hanging
+        # tunnel client must not wedge `import krep_tpu`)
+        from ..parallel.mesh import guard_default_backend
+
+        guard_default_backend()
         return jax.default_backend() == "cpu"
     except Exception:
         return True  # fail safe: no cache
@@ -160,6 +165,12 @@ def backend_name() -> str:
     mode = os.environ.get("KREP_TPU_BACKEND", "auto")
     if mode == "auto":
         try:
+            # bounded-probe guard first: jax.default_backend() initializes
+            # the default platform, which can HANG (not just raise) when
+            # the tunneled TPU client is down — see mesh.guard_default_backend
+            from ..parallel.mesh import guard_default_backend
+
+            guard_default_backend()
             default = jax.default_backend()
         except Exception:
             # a broken default platform (e.g. libtpu client/terminal skew)

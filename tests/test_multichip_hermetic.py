@@ -90,6 +90,33 @@ def test_dryrun_survives_hanging_default_backend(tmp_path):
     assert "HANGPROBE_DRYRUN_OK" in proc.stdout
 
 
+def test_cli_search_survives_hanging_default_backend(tmp_path):
+    """The production CLI, not just the dryrun, must degrade to the CPU
+    platform when the default backend hangs at init: a grep tool that
+    wedges forever on a chip outage is broken. Same forced-hang probe
+    simulation as above, driven through `python -m krep_tpu.cli`."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("KREP_TPU_NO_BACKEND_PROBE", None)
+    env["KREP_TPU_PROBE_CODE"] = "import time; time.sleep(600)"
+    env["KREP_TPU_PROBE_TIMEOUT"] = "2"
+    env["KREP_TPU_PROBE_TRIES"] = "1"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    f = tmp_path / "hay.txt"
+    f.write_text("the cat\nbat the hat\nno match\n" * 40)
+    proc = subprocess.run(
+        [sys.executable, "-m", "krep_tpu.cli", "-c", "the", str(f)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    # -c with a file argument prints "FILE:count" like the reference
+    assert proc.stdout.strip() == f"{f}:80"
+
+
 def test_dryrun_survives_poisoned_default_backend(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
