@@ -146,11 +146,15 @@ def gen_flags(rng):
 
 def ref_would_hang(pat: bytes, flags) -> bool:
     """The reference binary INFINITE-LOOPS in default print mode when a
-    zero-length match lands exactly on a line end: the same-line skip at
+    match starts exactly on a line end: the same-line skip at
     krep.c:867-871 only advances past matches with start < line_end, so a
-    match at start == line_end never advances (verified: `krep -E '.*' f`,
-    `krep -E -e '' f` hang; -c/-o terminate). We deliberately terminate
-    (KNOWN_DIVERGENCES) — the fuzzer must not feed the hang."""
+    match at start == line_end never advances. Two ways to land there:
+    a zero-length match at the boundary (`.*`, `-e ''`), or a match OF
+    the newline byte itself (`\\s`, `[[:space:]]` — found by the
+    randomized soak). Verified: `krep -E '.*' f`, `krep -E -e '' f`,
+    `krep -E '\\s' f` all hang; -c/-o terminate. We deliberately
+    terminate (KNOWN_DIVERGENCES #7) — the fuzzer must not feed the
+    hang."""
     if "-c" in flags or "-o" in flags:
         return False
     src = b"\\b" + pat + b"\\b" if "-w" in flags else pat
@@ -161,7 +165,13 @@ def ref_would_hang(pat: bytes, flags) -> bool:
         rx = regex_engine.PosixRegex(src, cflags)
     except regex_engine.RegexError:
         return False  # both sides exit 2; no regexec ever runs
-    return rx.matches_empty()
+    if rx.matches_empty():
+        return True
+    # can the pattern match starting at a '\n'? probe a 1-byte window
+    import ctypes as _ct
+
+    buf = _ct.create_string_buffer(b"\n", 2)
+    return rx.exec_at(_ct.addressof(buf), 0, 1, 0) is not None
 
 
 def run_cli_vs_oracle(text, args):

@@ -89,6 +89,35 @@ def test_regex_empty_text():
     assert got == want and rc == wrc
 
 
+def test_newline_matching_ere_terminates():
+    """`-E '\\s'` (or any pattern matching the '\\n' byte) hangs the
+    reference binary in default print mode — the same same-line-skip bug
+    as empty-matchable patterns, for one-byte matches OF the newline
+    (KNOWN_DIVERGENCES #7; found by tools/soak_fuzz.py). We must
+    terminate, print each matched line once, and stay byte-exact with
+    the reference on the modes it does terminate on."""
+    text = b"a b\ncd\n x\n"
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        got, rc = ours_cli(["-E", "\\s", path])
+        lines = got.replace(path.encode() + b":", b"").splitlines()
+        assert lines == [b"a b", b"cd", b" x"]
+        assert rc == 0
+        # terminating modes stay oracle-exact
+        for args in (["-E", "-c", "\\s"], ["-E", "-o", "\\s"],
+                     ["-E", "-c", "finger$|\\s"]):
+            got, rc = ours_cli([*args, path])
+            want, wrc = oracle.run([*args, path])
+            assert got.replace(path.encode(), b"F") == want.replace(
+                path.encode(), b"F"
+            ), args
+            assert rc == wrc, args
+    finally:
+        os.unlink(path)
+
+
 def test_regex_compile_error_exit2():
     got, rc, want, wrc = both(b"abc\n", ["-E", "[unclosed"])
     assert rc == wrc == 2

@@ -78,15 +78,24 @@ def literal_batch(seed: int, cases: int) -> int:
 
 
 def ere_batch(seed: int, cases: int) -> int:
+    import subprocess
+
     rng = np.random.default_rng(seed)
     for case in range(cases):
         text = fr.gen_corpus(rng)
         pat = fr.gen_pattern(rng)
         flags = fr.gen_flags(rng)
         if fr.ref_would_hang(pat, flags):
-            flags.append("-c")  # dodge the reference's zero-length hang
+            flags.append("-c")  # dodge the reference's print-mode hang
         args = ["-E", *flags, "-e", pat.decode("latin1")]
-        got, rc, want, wrc = fr.run_cli_vs_oracle(text, args)
+        try:
+            got, rc, want, wrc = fr.run_cli_vs_oracle(text, args)
+        except subprocess.TimeoutExpired:
+            # an UNDODGED reference hang: report it (it's a finding about
+            # the reference worth pinning) and keep soaking
+            print(f"REF-HANG seed={seed} case={case} args={args}",
+                  flush=True)
+            continue
         if got != want or rc != wrc:
             fail(1, seed, case, args, text, got, want, rc, wrc)
     return cases
