@@ -32,6 +32,7 @@ LONG_OPTS = [
     "algo=",
     "help",
     "version",
+    "regexp=",  # alias for -e (krep.c:3481)
 ]
 
 USAGE = f"""krep-tpu v{__version__}
@@ -107,7 +108,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
     for o, a in opts:
         if o == "-i":
             case_sensitive = False
-        elif o == "-e":
+        elif o in ("-e", "--regexp"):
             patterns.append(a.encode())
         elif o == "-f":
             pattern_file_used = True
