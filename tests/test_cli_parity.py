@@ -47,6 +47,7 @@ ARGSETS = [
     ["-m", "0", "-c", "the"],
     ["-e", "the", "-e", "fox", "-o"],
     ["-e", "the", "-e", "fox", "-c"],
+    ["--regexp", "the", "-e", "fox", "-c"],  # --regexp == -e (krep.c:3481)
     ["--algo", "bm", "-o", "aaa"],
     ["--algo", "kmp", "-c", "-o", "aaa"],
     ["zzqqxx"],          # no match
