@@ -263,10 +263,41 @@ def test_want_count_false_lines_exact():
     assert int(l) == naive.matched_lines(text, want)
 
 
+def test_blockmul_subtile_carry_exact(monkeypatch):
+    """KREP_TPU_BLOCKMUL=2 fetches a 2x block per grid step and walks it as
+    TWO in-kernel sub-tiles sharing the SMEM carries — the measured-and-
+    rejected knob must stay parity-exact, including the line-state carry
+    chaining between sub-tiles of one block."""
+    monkeypatch.setenv("KREP_TPU_TILE", "128")
+    monkeypatch.setenv("KREP_TPU_BLOCKMUL", "2")
+    text = naive.gen_english(33, 256 * 1024)
+    st = dispatch.stage(text)
+    for pat in [b"the", b"e"]:
+        c, l, _ = pallas_swar.scan_literal(
+            st.u32, st.true_len, pattern=pat, want_mask=False,
+            want_lines=True, interpret=True, assume_zero_tail=True,
+        )
+        want = naive.all_starts(text, pat)
+        assert int(c) == len(want), pat
+        assert int(l) == naive.matched_lines(text, want), pat
+    # a matched line spanning the intra-block sub-tile boundary (sub =
+    # 128 rows = 64 KiB; block = 128 KiB) must count once
+    body = bytearray(b" " * (256 * 1024))
+    body[65530:65533] = b"cat"
+    body[65540:65543] = b"cat"
+    body[100] = 0x0A
+    body[200_000] = 0x0A
+    st2 = dispatch.stage(bytes(body))
+    c, l, _ = pallas_swar.scan_literal(
+        st2.u32, st2.true_len, pattern=b"cat", want_mask=False,
+        want_lines=True, interpret=True,
+    )
+    assert int(c) == 2 and int(l) == 1
+
+
 def test_block_subtile_carry_exact(monkeypatch):
-    """Force the 2-sub-tile fetch block (KREP_TPU_TILE caps the sub size so
-    block = 2x sub) and check counts/lines across sub-tile and block
-    boundaries, incl. the line-state carry chaining through sub-tiles."""
+    """Small forced tiles (KREP_TPU_TILE=128): counts/lines stay exact
+    across many grid steps, incl. the line-state carry through SMEM."""
     monkeypatch.setenv("KREP_TPU_TILE", "128")
     text = naive.gen_english(31, 256 * 1024)  # R4 = 2048 rows -> T = 8 blocks
     st = dispatch.stage(text)
