@@ -101,6 +101,101 @@ def ere_batch(seed: int, cases: int) -> int:
     return cases
 
 
+TREE_WORDS = [b"the cat", b"a dog", b"no match here", b"the end", b"THE X",
+              b"thing", b"over the lazy dog", b"xyz", b""]
+TREE_EXTS = [".txt", ".log", ".md", ".js", ".min.js", ".png", ".o", ".c",
+             ".json", ""]
+SKIP_DIRS = [".git", "node_modules", "build", ".svn"]
+GITIGNORE_LINES = [b"*.log", b"drop/", b"!keep.log", b"secret*", b"sub/*.md"]
+
+
+def _gen_tree(rng, root: str) -> None:
+    """Random directory tree: nested dirs (some from the skip table),
+    files across the extension table (some skip-listed), a .gitignore
+    chain, the occasional symlink, empty file, and >1MB binary/text pair
+    (the binary-sniff threshold, krep.c walker)."""
+    import pathlib
+
+    dirs = [pathlib.Path(root)]
+    for _ in range(int(rng.integers(0, 6))):
+        base = dirs[int(rng.integers(0, len(dirs)))]
+        name = (SKIP_DIRS[int(rng.integers(0, len(SKIP_DIRS)))]
+                if rng.random() < 0.25 else
+                f"d{int(rng.integers(0, 100))}")
+        p = base / name
+        p.mkdir(exist_ok=True)
+        dirs.append(p)
+    n_files = int(rng.integers(1, 12))
+    made = []
+    for i in range(n_files):
+        base = dirs[int(rng.integers(0, len(dirs)))]
+        ext = TREE_EXTS[int(rng.integers(0, len(TREE_EXTS)))]
+        name = f"{'.' if rng.random() < 0.15 else ''}f{i}{ext}"
+        lines = [TREE_WORDS[int(rng.integers(0, len(TREE_WORDS)))]
+                 for _ in range(int(rng.integers(0, 8)))]
+        fp = base / name
+        fp.write_bytes(b"\n".join(lines) + (b"\n" if lines else b""))
+        made.append(fp)
+    if rng.random() < 0.1:
+        # >1MB pair: binary (NUL in the first 1KB => skipped) vs text
+        big = dirs[0] / "big.bin"
+        big.write_bytes(b"\x00the\x01" * 300_000)
+        (dirs[0] / "big.txt").write_bytes(b"the quick\n" * 120_000)
+    if made and rng.random() < 0.2:
+        link = dirs[0] / "lnk.txt"
+        if not link.exists():
+            link.symlink_to(made[0])
+    if rng.random() < 0.4:
+        gi = rng.permutation(len(GITIGNORE_LINES))[
+            : int(rng.integers(1, 4))]
+        (dirs[0] / ".gitignore").write_bytes(
+            b"\n".join(GITIGNORE_LINES[j] for j in gi) + b"\n")
+
+
+def tree_batch(seed: int, cases: int) -> int:
+    """Randomized -r walker parity: sorted-multiset stdout equality + exit
+    code vs the oracle (walk order is fs-dependent on both sides)."""
+    import shutil
+
+    rng = np.random.default_rng(seed)
+    for case in range(cases):
+        root = tempfile.mkdtemp(prefix="soak_tree_")
+        try:
+            _gen_tree(rng, root)
+            flags = ["-r"]
+            if rng.random() < 0.4:
+                flags.append("--gitignore")
+            if rng.random() < 0.3:
+                flags.append("-i")
+            if rng.random() < 0.2:
+                flags.append("-w")
+            mode = rng.random()
+            if mode < 0.45:
+                flags.append("-c")
+            elif mode < 0.8:
+                flags.append("-o")
+            if rng.random() < 0.2:
+                flags += ["-m", str(int(rng.integers(1, 4)))]
+            pat = ["the", "THE", "dog", "thing", "e", "q"][
+                int(rng.integers(0, 6))]
+            args = [*flags, pat, root]
+            out = io.BytesIO()
+            rc = cli.main(args, out=out)
+            want, wrc = oracle.run(args)
+            got_s = sorted(out.getvalue().splitlines())
+            want_s = sorted(want.splitlines())
+            if got_s != want_s or rc != wrc:
+                keep = tempfile.mkdtemp(prefix="soak_tree_repro_")
+                shutil.copytree(root, keep, dirs_exist_ok=True,
+                                symlinks=True)
+                fail(2, seed, case, args, b"<tree kept at " +
+                     keep.encode() + b">",
+                     b"\n".join(got_s), b"\n".join(want_s), rc, wrc)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return cases
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=1800.0)
@@ -119,8 +214,9 @@ def main() -> int:
     total = 0
     rounds = 0
     while time.time() - t0 < a.seconds:
-        total += literal_batch(base + 2 * rounds, 20)
-        total += ere_batch(base + 2 * rounds + 1, 15)
+        total += literal_batch(base + 3 * rounds, 20)
+        total += ere_batch(base + 3 * rounds + 1, 15)
+        total += tree_batch(base + 3 * rounds + 2, 6)
         rounds += 1
         now = time.time()
         if now - last >= 60:
