@@ -87,7 +87,12 @@ def main(argv: list[str] | None = None, out=None) -> int:
     try:
         opts, args = getopt.getopt(argv, SHORT_OPTS, LONG_OPTS)
     except getopt.GetoptError as e:
-        return _err(str(e))
+        # the reference prints getopt's error to stderr and the usage
+        # block to STDOUT, exit 2 (krep.c:3695-3698)
+        sys.stderr.write(f"krep: {e}\n")
+        out.write(USAGE.encode())
+        out.flush()
+        return 2
 
     patterns: list[bytes] = []
     case_sensitive = True

@@ -95,8 +95,14 @@ def test_fuzz_cli_parity(seed):
             want, wrc = oracle.run([*args, path])
             got_n = out.getvalue().replace(path.encode(), b"F")
             want_n = want.replace(path.encode(), b"F")
-            assert got_n == want_n, (seed, case, args, text[:200])
             assert rc == wrc, (seed, case, args, text[:200])
+            if rc == 2:
+                # both errored (e.g. a generated pattern starting with '-'
+                # parsed as a bad option): the reference prints ITS usage
+                # text, we print ours — structural parity only
+                # (KNOWN_DIVERGENCES #6)
+                continue
+            assert got_n == want_n, (seed, case, args, text[:200])
         finally:
             os.unlink(path)
 

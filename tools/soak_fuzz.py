@@ -70,7 +70,11 @@ def literal_batch(seed: int, cases: int) -> int:
             want, wrc = oracle.run([*args, path])
             got_n = out.getvalue().replace(path.encode(), b"F")
             want_n = want.replace(path.encode(), b"F")
-            if got_n != want_n or rc != wrc:
+            if rc != wrc:
+                fail(0, seed, case, args, text, got_n, want_n, rc, wrc)
+            if rc == 2:
+                continue  # both errored: usage texts differ by design
+            if got_n != want_n:
                 fail(0, seed, case, args, text, got_n, want_n, rc, wrc)
         finally:
             os.unlink(path)
