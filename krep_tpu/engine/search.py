@@ -183,10 +183,14 @@ def _search_single_literal_slabbed(
     from ..parallel.mesh import LineCountCombiner, _is_word_byte
 
     # interpret=True forces the SWAR kernel in Mosaic-interpret mode (how
-    # tests drive it on CPU); production picks by backend
-    use_swar = interpret or dispatch.backend_name() == "swar"
-    if use_swar:
-        from ..ops import pallas_swar
+    # tests drive it on CPU); production picks by backend — re-checked per
+    # slab because a skew fallback at first staging (dispatch._put) can
+    # downgrade the route to XLA mid-loop
+    def _use_swar():
+        return interpret or dispatch.backend_name() == "swar"
+
+    if _use_swar():
+        from ..ops import pallas_swar  # noqa: F401
 
     data = (
         np.frombuffer(text, np.uint8)
@@ -246,7 +250,9 @@ def _search_single_literal_slabbed(
             prev = int(_is_word_byte(int(data[pos - 1])))
         # line accounting stops at the owned region (start_limit=owned):
         # halo newlines belong to the NEXT slab (mesh-path contract)
-        if use_swar:
+        if _use_swar():
+            from ..ops import pallas_swar
+
             staged = dispatch.stage(slab)
             outs = pallas_swar.scan_shard(
                 staged.u32,

@@ -80,6 +80,30 @@ def bucket_size(n: int) -> int:
     return LANES * (row_bucket(rows) + HALO_ROWS)
 
 
+_SKEW_CPU = False  # default backend died at first transfer: stay on CPU
+
+
+def _put(x):
+    """device_put with skew fallback: a tunneled client can initialize
+    fine yet fail at the FIRST transfer (libtpu client/terminal version
+    skew — the MULTICHIP_r01/r02 failure mode). A grep CLI must degrade
+    to the CPU platform, not crash; backend_name() routes to the XLA
+    path once the flag is set."""
+    global _SKEW_CPU
+    if not _SKEW_CPU:
+        try:
+            return jax.device_put(x)
+        except Exception as e:
+            _SKEW_CPU = True
+            import sys
+
+            sys.stderr.write(
+                "krep-tpu: default backend failed at first transfer "
+                f"({type(e).__name__}); falling back to the CPU platform\n"
+            )
+    return jax.device_put(x, jax.devices("cpu")[0])
+
+
 class StagedText:
     """One host staging buffer, two device views (transferred on demand):
     .u8  — flat uint8, used by the XLA path and the v1 byte kernel
@@ -109,7 +133,7 @@ class StagedText:
         padded[n:] = 0
         self._np = padded
         self.n = n
-        self.true_len = jnp.int32(n)
+        self.true_len = _put(np.int32(n))
         self._u8 = None
         self._u32 = None
         # fresh staging zero-fills past n, so NUL-free patterns can skip
@@ -122,7 +146,7 @@ class StagedText:
     def u8(self):
         if self._u8 is None:
             src = getattr(self, "_src", None)
-            self._u8 = src.u8 if src is not None else jax.device_put(self._np)
+            self._u8 = src.u8 if src is not None else _put(self._np)
         return self._u8
 
     @property
@@ -134,7 +158,7 @@ class StagedText:
             else:
                 rows4 = self._np.shape[0] // 512  # 128 u32 lanes × 4 bytes
                 view = self._np.view("<u4").reshape(rows4, 128)
-                self._u32 = jax.device_put(view)
+                self._u32 = _put(view)
         return self._u32
 
     def with_len(self, n: int) -> "StagedText":
@@ -143,7 +167,7 @@ class StagedText:
         other = StagedText.__new__(StagedText)
         other._np = self._np
         other.n = n
-        other.true_len = jnp.int32(n)
+        other.true_len = _put(np.int32(n))
         other._u8 = None
         other._u32 = None
         other._src = self
@@ -164,6 +188,8 @@ def stage_text(text: bytes | np.ndarray):
 def backend_name() -> str:
     mode = os.environ.get("KREP_TPU_BACKEND", "auto")
     if mode == "auto":
+        if _SKEW_CPU:
+            return "xla"  # transfers fell back to the CPU platform
         try:
             # bounded-probe guard first: jax.default_backend() initializes
             # the default platform, which can HANG (not just raise) when
