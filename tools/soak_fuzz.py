@@ -105,6 +105,59 @@ def ere_batch(seed: int, cases: int) -> int:
     return cases
 
 
+def manypat_batch(seed: int, cases: int) -> int:
+    """Large -f pattern sets through the CLI (the grouped-fused / MXU /
+    prefix-group routes at K 16..96, mixed lengths incl. >13-byte
+    members), diffed against the oracle across count/position modes."""
+    rng = np.random.default_rng(seed)
+    for case in range(cases):
+        alpha = np.frombuffer(b"the quick brown fox_ jumps over\nlazy ",
+                              np.uint8)
+        n = int(rng.integers(10_000, 150_000))
+        text = rng.choice(alpha, size=n).tobytes()
+        k = int(rng.integers(16, 97))
+        pats = []
+        while len(pats) < k:
+            m = int(rng.integers(1, 22))  # > 13 exercises prefix groups
+            s = int(rng.integers(0, n - m))
+            p = text[s : s + m].replace(b"\n", b"x").replace(b"\x00", b"y")
+            if p and p not in pats:
+                pats.append(p)
+        flags = []
+        if rng.random() < 0.3:
+            flags.append("-i")
+        if rng.random() < 0.25:
+            flags.append("-w")
+        mode = rng.random()
+        if mode < 0.35:
+            flags.append("-c")
+        elif mode < 0.55:
+            flags += ["-c", "-o"]
+        elif mode < 0.9:
+            flags.append("-o")
+        if rng.random() < 0.2:
+            flags += ["-m", str(int(rng.integers(1, 9)))]
+        pf = tempfile.NamedTemporaryFile(suffix=".pats", delete=False)
+        pf.write(b"\n".join(pats))
+        pf.close()
+        with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+            f.write(text)
+            path = f.name
+        try:
+            args = [*flags, "-f", pf.name, path]
+            out = io.BytesIO()
+            rc = cli.main(args, out=out)
+            want, wrc = oracle.run(args)
+            got_n = out.getvalue().replace(path.encode(), b"F")
+            want_n = want.replace(path.encode(), b"F")
+            if rc != wrc or (rc != 2 and got_n != want_n):
+                fail(3, seed, case, args, text, got_n, want_n, rc, wrc)
+        finally:
+            os.unlink(path)
+            os.unlink(pf.name)
+    return cases
+
+
 TREE_WORDS = [b"the cat", b"a dog", b"no match here", b"the end", b"THE X",
               b"thing", b"over the lazy dog", b"xyz", b""]
 TREE_EXTS = [".txt", ".log", ".md", ".js", ".min.js", ".png", ".o", ".c",
@@ -218,9 +271,10 @@ def main() -> int:
     total = 0
     rounds = 0
     while time.time() - t0 < a.seconds:
-        total += literal_batch(base + 3 * rounds, 20)
-        total += ere_batch(base + 3 * rounds + 1, 15)
-        total += tree_batch(base + 3 * rounds + 2, 6)
+        total += literal_batch(base + 4 * rounds, 20)
+        total += ere_batch(base + 4 * rounds + 1, 15)
+        total += tree_batch(base + 4 * rounds + 2, 6)
+        total += manypat_batch(base + 4 * rounds + 3, 3)
         rounds += 1
         now = time.time()
         if now - last >= 60:
