@@ -189,9 +189,6 @@ def _search_single_literal_slabbed(
     def _use_swar():
         return interpret or dispatch.backend_name() == "swar"
 
-    if _use_swar():
-        from ..ops import pallas_swar  # noqa: F401
-
     data = (
         np.frombuffer(text, np.uint8)
         if isinstance(text, (bytes, bytearray))
@@ -250,10 +247,13 @@ def _search_single_literal_slabbed(
             prev = int(_is_word_byte(int(data[pos - 1])))
         # line accounting stops at the owned region (start_limit=owned):
         # halo newlines belong to the NEXT slab (mesh-path contract)
+        staged = dispatch.stage(slab) if _use_swar() else None
+        # re-check AFTER staging: dispatch._put may have hit the transfer
+        # skew on this very slab and downgraded the route to CPU/XLA — the
+        # SWAR kernel must not run on CPU-committed buffers
         if _use_swar():
             from ..ops import pallas_swar
 
-            staged = dispatch.stage(slab)
             outs = pallas_swar.scan_shard(
                 staged.u32,
                 jnp.int32(tl),
@@ -313,9 +313,9 @@ def _mesh_for_threads(threads: int | None):
     reference caps its chunk threads."""
     from jax.sharding import Mesh
 
-    from ..parallel.mesh import safe_devices
+    from ..parallel.mesh import healthy_devices
 
-    devs = safe_devices()
+    devs = healthy_devices()
     d = len(devs) if threads is None else max(1, min(threads, len(devs)))
     return Mesh(np.array(devs[:d]), ("data",))
 

@@ -346,7 +346,7 @@ def sharded_count(
     — the caller routes). The multi-chip analogue of fused_count_device."""
     patterns = tuple(patterns)
     if mesh is None:
-        devs = np.array(safe_devices())
+        devs = np.array(healthy_devices())
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
@@ -392,7 +392,7 @@ def sharded_scan(
     patterns = tuple(patterns)
     m_max = max(len(p) for p in patterns)
     if mesh is None:
-        devs = np.array(safe_devices())
+        devs = np.array(healthy_devices())
         mesh = Mesh(devs, ("data",))
     D = mesh.devices.size
     sharding = jax.sharding.NamedSharding(mesh, P("data", None))
@@ -480,12 +480,23 @@ _PROBE_TTL_BAD = 120.0
 
 def _probe_cache_path(code: str) -> str:
     import hashlib
-    import tempfile
 
     key = hashlib.sha1(
         (os.environ.get("JAX_PLATFORMS", "") + "\0" + code).encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"krep_tpu_probe_{key}")
+    # user-owned cache dir, NOT world-writable /tmp: a predictable shared
+    # path would let another local user pin verdicts (and sticky-bit /tmp
+    # would block this user's corrective os.replace)
+    d = os.environ.get(
+        "KREP_TPU_CACHE_DIR", os.path.expanduser("~/.cache/krep_tpu")
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"krep_tpu_{os.getuid()}_")
+    return os.path.join(d, f"probe_{key}")
 
 
 def _default_backend_initializes(timeout_s: float, tries: int) -> bool:
@@ -497,15 +508,21 @@ def _default_backend_initializes(timeout_s: float, tries: int) -> bool:
 
     code = os.environ.get("KREP_TPU_PROBE_CODE", _PROBE_CODE)
     cache = _probe_cache_path(code)
+    budget = timeout_s * tries
     try:
         with open(cache) as f:
-            verdict = f.read().strip()
+            fields = f.read().split()
+        verdict = fields[0] if fields else ""
+        cached_budget = float(fields[1]) if len(fields) > 1 else 0.0
         age = time.time() - os.stat(cache).st_mtime
         if verdict == "ok" and age < _PROBE_TTL_OK:
             return True
-        if verdict == "bad" and age < _PROBE_TTL_BAD:
+        # a cached FAILURE only binds callers with an equal-or-smaller
+        # budget: bench probes with a longer timeout than the CLI default
+        # and must not inherit the CLI's short-budget verdict
+        if verdict == "bad" and age < _PROBE_TTL_BAD and cached_budget >= budget:
             return False
-    except OSError:
+    except (OSError, ValueError):
         pass
     ok = False
     for _ in range(tries):
@@ -522,7 +539,7 @@ def _default_backend_initializes(timeout_s: float, tries: int) -> bool:
     try:
         tmp = cache + f".{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write("ok" if ok else "bad")
+            f.write(f"{'ok' if ok else 'bad'} {budget:.0f}")
         os.replace(tmp, cache)
     except OSError:
         pass
@@ -579,6 +596,27 @@ def safe_devices():
     process."""
     guard_default_backend()
     return jax.devices()
+
+
+def healthy_devices():
+    """safe_devices() plus a one-element transfer probe: a skewed client
+    can enumerate fine yet fail at the first device_put (MULTICHIP_r01/r02)
+    — mesh builders must discover that BEFORE committing a sharded slab.
+    Falls back to the CPU platform devices and flips the dispatch skew
+    flag so single-chip staging follows."""
+    devs = safe_devices()
+    try:
+        probe = jax.device_put(np.zeros(8, np.uint8), devs[0])
+        np.asarray(probe)  # force the transfer (axon ignores block_until_ready)
+        return devs
+    except Exception:
+        try:
+            from ..ops import dispatch
+
+            dispatch._SKEW_CPU = True
+        except Exception:
+            pass
+        return jax.devices("cpu")
 
 
 def safe_device_count() -> int:

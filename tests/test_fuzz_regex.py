@@ -144,7 +144,7 @@ def gen_flags(rng):
     return flags
 
 
-def ref_would_hang(pat: bytes, flags) -> bool:
+def ref_would_hang(pat: bytes, flags, text: bytes = b"") -> bool:
     """The reference binary INFINITE-LOOPS in default print mode when a
     match starts exactly on a line end: the same-line skip at
     krep.c:867-871 only advances past matches with start < line_end, so a
@@ -167,11 +167,18 @@ def ref_would_hang(pat: bytes, flags) -> bool:
         return False  # both sides exit 2; no regexec ever runs
     if rx.matches_empty():
         return True
-    # can the pattern match starting at a '\n'? probe a 1-byte window
+    # can a match START at a '\n'? (leftmost semantics: the first match in
+    # a window beginning with '\n' starts at 0 iff such a match exists).
+    # The window carries real corpus bytes after the newline so multi-byte
+    # matches like '\s.' or '[[:space:]][a-z]' are caught, not just the
+    # 1-byte '\s' case.
     import ctypes as _ct
 
-    buf = _ct.create_string_buffer(b"\n", 2)
-    return rx.exec_at(_ct.addressof(buf), 0, 1, 0) is not None
+    sample = b"\n" + (text[:4096] if text else b"") + \
+        b"the thing 09 a_b .,(){}xyz \nq"
+    buf = _ct.create_string_buffer(sample, len(sample) + 1)
+    hit = rx.exec_at(_ct.addressof(buf), 0, len(sample), 0)
+    return hit is not None and hit[0] == 0
 
 
 def run_cli_vs_oracle(text, args):
@@ -199,7 +206,7 @@ def test_fuzz_ere_cli_parity(seed):
         text = gen_corpus(rng)
         pat = gen_pattern(rng)
         flags = gen_flags(rng)
-        if ref_would_hang(pat, flags):
+        if ref_would_hang(pat, flags, text):
             flags.append("-c")  # keep the case, dodge the reference hang
         args = ["-E", *flags, "-e", pat.decode("latin1")]
         got, rc, want, wrc = run_cli_vs_oracle(text, args)
@@ -225,7 +232,7 @@ def test_ere_cli_parity_corner_patterns():
     ]
     for pat in pats:
         for flags in ([], ["-c"], ["-o"], ["-w"], ["-i", "-o"]):
-            if ref_would_hang(pat, flags):
+            if ref_would_hang(pat, flags, text):
                 continue  # reference infinite-loops (KNOWN_DIVERGENCES)
             args = ["-E", *flags, "-e", pat.decode("latin1")]
             got, rc, want, wrc = run_cli_vs_oracle(text, args)

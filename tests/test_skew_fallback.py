@@ -24,6 +24,10 @@ def skewed(monkeypatch):
 
     monkeypatch.setattr(jax, "device_put", failing_default_put)
     monkeypatch.setattr(dispatch, "_SKEW_CPU", False)
+    # conftest pins KREP_TPU_BACKEND=xla for CPU runs, which would satisfy
+    # the backend_name() assertion without ever consulting _SKEW_CPU —
+    # force auto mode so the skew routing branch itself is exercised
+    monkeypatch.setenv("KREP_TPU_BACKEND", "auto")
     yield
     dispatch._SKEW_CPU = False
 

@@ -28,7 +28,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path[:0] = [REPO, os.path.join(REPO, "tests")]
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# UNCONDITIONAL: the session env pins JAX_PLATFORMS to the TPU plugin;
+# the soak must be chip-independent (tests/conftest.py does the same)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("KREP_TPU_STRICT", "1")
 
 import numpy as np  # noqa: E402
@@ -36,6 +38,10 @@ import numpy as np  # noqa: E402
 import oracle  # noqa: E402
 import test_fuzz_oracle as fo  # noqa: E402
 import test_fuzz_regex as fr  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from krep_tpu import cli  # noqa: E402
 
 
@@ -89,7 +95,7 @@ def ere_batch(seed: int, cases: int) -> int:
         text = fr.gen_corpus(rng)
         pat = fr.gen_pattern(rng)
         flags = fr.gen_flags(rng)
-        if fr.ref_would_hang(pat, flags):
+        if fr.ref_would_hang(pat, flags, text):
             flags.append("-c")  # dodge the reference's print-mode hang
         args = ["-E", *flags, "-e", pat.decode("latin1")]
         try:
