@@ -80,11 +80,17 @@ def gen_quant(rng):
         return b"+"
     lo = int(rng.integers(0, 3))
     kind = rng.random()
-    if kind < 0.4:
+    if kind < 0.38:
         return b"{%d}" % lo
-    if kind < 0.7:
+    if kind < 0.66:
         return b"{%d,}" % lo
-    return b"{%d,%d}" % (lo, lo + int(rng.integers(0, 3)))
+    if kind < 0.94:
+        return b"{%d,%d}" % (lo, lo + int(rng.integers(0, 3)))
+    # chained quantifiers: glibc applies the second brace as another
+    # repetition ('a{2}{3}' matches 'aaaaaa') — the analyzer must bail to
+    # the exact plain engine on these (round-2 advisor finding)
+    hi = int(rng.integers(1, 4))
+    return b"{%d}{%d}" % (max(lo, 1), hi)
 
 
 def gen_branch(rng, depth):
