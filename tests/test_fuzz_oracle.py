@@ -48,14 +48,17 @@ def gen_case(rng):
             m = int(rng.integers(1, 8))
             pat = rng.choice(alpha_arr, size=m).tobytes()
         pat = pat.replace(b"\x00", b"x")
-        if b"\n" in pat:
+        if b"\n" in pat and rng.random() < 0.75:
+            # usually strip newlines; sometimes KEEP them — matches that
+            # span lines exercise the kernels' cross-line/halo accounting
+            # (the slab/mesh '\n'-in-pattern fixes)
             pat = pat.replace(b"\n", b"a")
         if not pat:
             pat = b"a"
         pats.append(pat)
 
     args = []
-    if n_pats == 1 and rng.random() < 0.7:
+    if n_pats == 1 and rng.random() < 0.7 and b"\n" not in pats[0]:
         args.append(pats[0].decode("latin1"))
     else:
         for p in pats:
@@ -72,6 +75,11 @@ def gen_case(rng):
         flags.append("-o")
     elif mode < 0.7:
         flags += ["-c", "-o"]
+    elif any(p.startswith(b"\n") for p in pats):
+        # a literal starting with '\n' matches AT a line end, which
+        # infinite-loops the reference's default print mode (the same
+        # krep.c:867-871 skip bug as newline-matching EREs) — dodge
+        flags.append("-c")
     if rng.random() < 0.25:
         flags += ["-m", str(int(rng.integers(0, 6)))]
     if rng.random() < 0.15 and n_pats == 1:
