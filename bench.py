@@ -28,6 +28,7 @@ CORPUS_BYTES = int(os.environ.get("KREP_BENCH_BYTES", 1 << 30))
 # accounting (the round-1 LoC diagnostic counted 679k generated lines).
 CORPUS_DIR = os.environ.get("KREP_BENCH_CORPUS_DIR", "/tmp/krep_bench_corpus")
 PATTERN = b"the"
+_OUTAGE_FALLBACK = False  # set by main() when the accelerator probe fails
 PATTERNS_16 = [
     b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy", b"dog",
     b"Sherlock", b"time", b"words", b"some", b"then", b"deeply", b"was", b"more",
@@ -131,14 +132,28 @@ def config1(staged, n, data_path):
             capture_output=True, timeout=600,
         )
         parity = bool(int(out.stdout.rsplit(b":", 1)[-1]) == lines0)
+    extra = {
+        "line_count": lines0,
+        "count_parity_vs_reference": parity,
+        "backend": jax.default_backend(),
+        "corpus_bytes": n,
+    }
+    if _OUTAGE_FALLBACK:
+        # The accelerator was unreachable at run time; this line's value is
+        # a CPU-backend correctness run, ~3 orders below the chip. Carry the
+        # last on-chip measurement (same code, same corpus) so the record
+        # isn't blind — clearly labeled as historical.
+        extra["note"] = ("accelerator backend down at bench time; value is "
+                         "the CPU fallback run")
+        extra["last_measured_on_tpu"] = {
+            "value_gbps": 182.4, "date": "2026-08-17",
+            "count_parity_vs_reference": True,
+            "evidence": "BENCH_NOTES.md round-3 table (v5e, min-filtered)",
+        }
     emit(
         "fixed-string -c scan throughput (pattern 'the', 1GiB english-like corpus)",
         gbps,
-        {
-            "line_count": lines0,
-            "count_parity_vs_reference": parity,
-            "backend": jax.default_backend(),
-        },
+        extra,
     )
 
 
@@ -455,6 +470,8 @@ def _probe_tpu(timeout_s: float = 150.0, tries: int = 2) -> bool:
 def main():
     if not os.environ.get("KREP_BENCH_NO_PROBE") and not _probe_tpu():
         # chip/tunnel outage: run on CPU and say so rather than hang
+        global _OUTAGE_FALLBACK
+        _OUTAGE_FALLBACK = True
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
