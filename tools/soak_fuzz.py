@@ -67,6 +67,8 @@ def literal_batch(seed: int, cases: int) -> int:
     rng = np.random.default_rng(seed)
     for case in range(cases):
         text, args = fo.gen_case(rng)
+        if rng.random() < 0.2:
+            args = ["--color=always", *args]
         with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
             f.write(text)
             path = f.name
@@ -97,6 +99,8 @@ def ere_batch(seed: int, cases: int) -> int:
         flags = fr.gen_flags(rng)
         if fr.ref_would_hang(pat, flags, text):
             flags.append("-c")  # dodge the reference's print-mode hang
+        if rng.random() < 0.2:
+            flags = ["--color=always", *flags]
         args = ["-E", *flags, "-e", pat.decode("latin1")]
         try:
             got, rc, want, wrc = fr.run_cli_vs_oracle(text, args)
@@ -161,6 +165,72 @@ def manypat_batch(seed: int, cases: int) -> int:
         finally:
             os.unlink(path)
             os.unlink(pf.name)
+    return cases
+
+
+def string_stdin_batch(seed: int, cases: int) -> int:
+    """The two file-less entries: piped stdin (krep.c:2325-2401) and -s
+    string mode (krep.c:3548-3570, 1999-2229), randomized flags including
+    --color=always (the highlight path, krep.c:963-1001)."""
+    rng = np.random.default_rng(seed)
+    for case in range(cases):
+        if rng.random() < 0.5:
+            # stdin: reuse the literal generator's full case space
+            text, args = fo.gen_case(rng)
+            if rng.random() < 0.3:
+                args = ["--color=always", *args]
+
+            class _Stdin:
+                buffer = io.BytesIO(text)
+
+            old = sys.stdin
+            sys.stdin = _Stdin()
+            try:
+                out = io.BytesIO()
+                rc = cli.main(args, out=out)
+            finally:
+                sys.stdin = old
+            want, wrc = oracle.run(args, stdin=text)
+        else:
+            # -s PATTERN STRING: argv carries the haystack (no NULs)
+            text, _ = fo.gen_case(rng)
+            text = text.replace(b"\x00", b"x")
+            if len(text) > 3 and rng.random() < 0.7:
+                m = int(rng.integers(1, min(12, len(text))))
+                s = int(rng.integers(0, len(text) - m + 1))
+                pat = text[s : s + m]
+            else:
+                pat = bytes(rng.choice(
+                    np.frombuffer(b"theoq\nx", np.uint8),
+                    size=int(rng.integers(1, 6))))
+            pat = pat.replace(b"\x00", b"x") or b"a"
+            flags = []
+            if rng.random() < 0.3:
+                flags.append("-i")
+            if rng.random() < 0.3:
+                flags.append("-w")
+            if rng.random() < 0.3:
+                flags.append("--color=always")
+            mode = rng.random()
+            if mode < 0.3:
+                flags.append("-c")
+            elif mode < 0.6:
+                flags.append("-o")
+            elif mode < 0.7:
+                flags += ["-c", "-o"]
+            elif pat.startswith(b"\n"):
+                flags.append("-c")  # reference default-print hang dodge
+            if rng.random() < 0.25:
+                flags += ["-m", str(int(rng.integers(0, 5)))]
+            args = [*flags, "-s", pat.decode("latin1"),
+                    text.decode("latin1")]
+            out = io.BytesIO()
+            rc = cli.main(args, out=out)
+            want, wrc = oracle.run(args)
+        if rc != wrc:
+            fail(4, seed, case, args, text, out.getvalue(), want, rc, wrc)
+        if rc != 2 and out.getvalue() != want:
+            fail(4, seed, case, args, text, out.getvalue(), want, rc, wrc)
     return cases
 
 
@@ -277,10 +347,11 @@ def main() -> int:
     total = 0
     rounds = 0
     while time.time() - t0 < a.seconds:
-        total += literal_batch(base + 4 * rounds, 20)
-        total += ere_batch(base + 4 * rounds + 1, 15)
-        total += tree_batch(base + 4 * rounds + 2, 6)
-        total += manypat_batch(base + 4 * rounds + 3, 3)
+        total += literal_batch(base + 5 * rounds, 20)
+        total += ere_batch(base + 5 * rounds + 1, 15)
+        total += tree_batch(base + 5 * rounds + 2, 6)
+        total += manypat_batch(base + 5 * rounds + 3, 3)
+        total += string_stdin_batch(base + 5 * rounds + 4, 12)
         rounds += 1
         now = time.time()
         if now - last >= 60:
