@@ -79,6 +79,32 @@ def _err(msg: str) -> int:
     return 2
 
 
+MAX_PATTERNS = 1024  # MAX_PATTERN_LENGTH doubles as the pattern-count cap
+
+
+def _fgets_patterns(data: bytes, patterns: list[bytes]) -> None:
+    """Emulate the reference's -f loop (krep.c:3590-3616): fgets with a
+    1024-byte buffer (so lines beyond 1023 bytes SPLIT into multiple
+    patterns), strlen semantics (a NUL truncates the line), trailing
+    newline stripped, empty lines skipped, reading stops at 1024 patterns
+    total (silent cap — the fgets loop condition, no error)."""
+    i, n = 0, len(data)
+    while i < n and len(patterns) < MAX_PATTERNS:
+        j = data.find(b"\n", i, i + 1023)
+        if j == -1:
+            line = data[i : i + 1023]
+        else:
+            line = data[i : j + 1]
+        i += len(line)
+        nul = line.find(b"\0")
+        if nul != -1:
+            line = line[:nul]
+        if line.endswith(b"\n"):
+            line = line[:-1]
+        if line:
+            patterns.append(line)
+
+
 def main(argv: list[str] | None = None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     out = out if out is not None else sys.stdout.buffer
@@ -102,8 +128,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
     only_matching = False
     max_count = None
     recursive = False
-    string_mode_pattern = None
-    pattern_file_used = False
+    string_mode = False
     algo = None
     no_simd = False
     color_mode = "auto"
@@ -114,16 +139,32 @@ def main(argv: list[str] | None = None, out=None) -> int:
         if o == "-i":
             case_sensitive = False
         elif o in ("-e", "--regexp"):
+            if len(patterns) >= MAX_PATTERNS:  # krep.c:3652-3657
+                sys.stderr.write(
+                    f"krep: Error: Too many patterns specified (max {MAX_PATTERNS})\n"
+                )
+                return 2
             patterns.append(a.encode())
         elif o == "-f":
-            pattern_file_used = True
-            try:
-                data = sys.stdin.buffer.read() if a == "-" else open(a, "rb").read()
-            except OSError as e:
-                return _err(f"cannot read pattern file: {e}")
-            for line in data.split(b"\n"):
-                if line:  # empty lines skipped (krep.c:3571-3626)
-                    patterns.append(line)
+            if a == "-":
+                _fgets_patterns(sys.stdin.buffer.read(), patterns)
+            else:
+                try:
+                    data = open(a, "rb").read()
+                except OSError:
+                    sys.stderr.write(
+                        f"krep: Error: Cannot open pattern file: {a}\n"
+                    )
+                    return 2
+                _fgets_patterns(data, patterns)
+            if not patterns:
+                # checked when -f is PROCESSED, so later -e options can't
+                # rescue an empty pattern file (krep.c:3619-3625)
+                sys.stderr.write(
+                    "krep: Error: No patterns found in "
+                    f"{'stdin' if a == '-' else a}\n"
+                )
+                return 2
         elif o == "-c":
             count_mode = True
         elif o in ("-m", "--max-count"):
@@ -163,7 +204,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 )
                 threads = None
         elif o == "-s":
-            string_mode_pattern = a.encode()
+            # -s appends its pattern in argv order like any -e (krep.c:
+            # 3548-3568); its own cap branch predates the (max %d) text
+            if len(patterns) >= MAX_PATTERNS:
+                sys.stderr.write("krep: Error: Too many patterns specified.\n")
+                return 2
+            patterns.append(a.encode())
+            string_mode = True
         elif o == "-w":
             whole_word = True
         elif o in ("-v", "--version"):
@@ -184,31 +231,50 @@ def main(argv: list[str] | None = None, out=None) -> int:
         elif o == "--color":
             color_mode = a if a else "always"
             if color_mode not in ("auto", "always", "never"):
-                return _err(f"invalid argument for --color: {color_mode}")
+                # message + usage block, usage to stdout (krep.c:3668-3672)
+                sys.stderr.write(
+                    f"krep: Error: Invalid argument for --color: {color_mode}\n"
+                )
+                out.write(USAGE.encode())
+                out.flush()
+                return 2
         elif o == "--no-simd":
             no_simd = True
         elif o == "--gitignore":
             use_gitignore = True
         elif o == "--algo":
+            if a not in ("auto", "bm", "kmp"):  # krep.c:3685-3697
+                sys.stderr.write(
+                    f"krep: Error: Unknown algorithm '{a}'. "
+                    "Valid options: auto, bm, kmp\n"
+                )
+                return 2
             algo = a
 
     # --- pattern / target resolution (krep.c:3700-3810) ---
-    if string_mode_pattern is not None:
-        patterns.insert(0, string_mode_pattern)
     if not patterns:
-        if pattern_file_used:
-            # -f consumed but yielded nothing (krep.c:3619-3625)
-            return _err("no patterns found in pattern file")
         if not args:
             sys.stderr.write(USAGE)
             return 2
         patterns.append(args.pop(0).encode())
 
-    if string_mode_pattern is not None:
+    if string_mode:
         if recursive:
-            return _err("-s cannot be combined with -r")
+            # krep.c:3803-3808: message + usage (usage to stdout)
+            sys.stderr.write(
+                "krep: Error: Options -s (search string) and -r (recursive) "
+                "cannot be used together.\n"
+            )
+            out.write(USAGE.encode())
+            out.flush()
+            return 2
         if not args:
-            return _err("missing STRING_TO_SEARCH for -s")
+            sys.stderr.write(
+                "krep: Error: STRING_TO_SEARCH argument missing for -s.\n"
+            )
+            out.write(USAGE.encode())
+            out.flush()
+            return 2
         haystack = args[0].encode()
         extra = args[1:]
         target = None
@@ -222,14 +288,6 @@ def main(argv: list[str] | None = None, out=None) -> int:
         out.write(USAGE.encode())
         out.flush()
         return 2
-
-    for p in patterns:
-        if len(p) > 1024:
-            return _err("pattern too long (max 1024)")
-    if not use_regex and any(len(p) == 0 for p in patterns) and len(patterns) == 1:
-        # empty literal pattern matches nothing in non-empty input; the
-        # empty-file special cases are handled by search paths
-        pass
 
     color = color_mode == "always" or (
         color_mode == "auto" and sys.stdout.isatty()
@@ -251,10 +309,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
     except ValueError as e:  # too many patterns / pattern too long
         return _err(str(e))
 
-    from .engine.search import search_string, search_file
+    from .engine.search import (
+        PatternValidationError,
+        search_string,
+        validate_patterns,
+    )
 
     try:
-        if string_mode_pattern is not None:
+        if string_mode:
             # the reference's -s is single-threaded (krep.c:2390-2392); we
             # scan on the mesh but still let -t cap the shard count
             result = search_string(params, haystack, threads)
@@ -270,19 +332,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 return _err(
                     f"{target}: Is a directory (use -r to search directories)"
                 )
+            # search_file validates before any I/O (krep.c:2298-2322): a
+            # bad pattern set errors even on a nonexistent target
+            validate_patterns(params, target)
             from .io import files
 
             try:
                 data = files.read_bytes(target)
             except OSError as e:
                 return _err(f"{target}: {e.strerror or e}")
-            if not use_regex and len(patterns) > 1 and any(len(p) == 0 for p in patterns):
-                # krep.c:2298-2322 validation inside search_file
-                return _err(
-                    f"{target}: Error: Empty pattern provided for literal "
-                    "search with multiple patterns."
-                )
-            result = search_string(params, bytes(data) if not hasattr(data, "shape") else data, threads)
+            result = search_string(
+                params,
+                bytes(data) if not hasattr(data, "shape") else data,
+                threads,
+                target=target,
+            )
             if len(data) == 0 and not use_regex and len(patterns) == 1 and len(patterns[0]) == 0:
                 # empty pattern matches an empty FILE once (krep.c:2419-2513);
                 # string/stdin search has no such special case (observed)
@@ -297,9 +361,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
             else:
                 _emit(out, result, data, target, params, color)
         else:
+            # stdin is target "-": validate before consuming the pipe
+            # (krep.c:2298 precedes the fread loop at 2325)
+            validate_patterns(params, "-")
             data = sys.stdin.buffer.read()
-            result = search_string(params, data, threads)
+            result = search_string(params, data, threads, target="-")
             _emit(out, result, data, None, params, color)
+    except PatternValidationError as e:
+        sys.stderr.write(e.message + "\n")
+        return 2
     except NotImplementedError as e:
         return _err(str(e))
     except BrokenPipeError:

@@ -17,9 +17,48 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..params import Algorithm, MatchPolicy, SearchParams
+from ..params import MAX_PATTERN_LENGTH, Algorithm, MatchPolicy, SearchParams
 from . import resolve
 from .select import Selection, select_algorithm
+
+
+class PatternValidationError(Exception):
+    """A literal pattern set rejected at search entry (exit code 2).
+
+    Mirrors the reference's dual message forms: search_file prefixes the
+    target ("krep: <target>: Error: ..." — krep.c:2298-2322, including
+    stdin as "-"), search_string emits the bare "Error: ..." form
+    (krep.c:2030-2047). `core` is the unprefixed message so callers that
+    report per-target (the -r walker) can re-prefix it per file.
+    """
+
+    def __init__(self, core: str, target: str | None = None):
+        self.core = core
+        self.message = core if target is None else f"krep: {target}: {core}"
+        super().__init__(self.message)
+
+
+def validate_patterns(params: SearchParams, target: str | None = None) -> None:
+    """Literal pattern-set validation at search entry (krep.c:2298-2322 for
+    file/stdin targets, krep.c:2030-2047 for string search). Regex patterns
+    are exempt — they go to regcomp instead. First offending pattern wins."""
+    if params.use_regex:
+        return
+    for p in params.patterns:
+        if len(p) == 0:
+            if params.num_patterns > 1:
+                raise PatternValidationError(
+                    "Error: Empty pattern provided for literal search "
+                    "with multiple patterns.",
+                    target,
+                )
+            continue  # a single empty pattern is allowed
+        if len(p) > MAX_PATTERN_LENGTH:
+            raise PatternValidationError(
+                f"Error: Pattern '{p.decode('latin-1')}' too long "
+                f"(max {MAX_PATTERN_LENGTH}).",
+                target,
+            )
 
 
 @dataclass
@@ -553,13 +592,19 @@ def _search_regex(
 
 
 def search_string(
-    params: SearchParams, text: bytes, threads: int | None = None
+    params: SearchParams, text: bytes, threads: int | None = None,
+    target: str | None = None,
 ) -> SearchResult:
     """Mirror of search_string (krep.c:1999-2246): single-shot search of an
     in-memory byte string. `threads` maps -t onto the device mesh (None =
-    all devices, like the reference's online-cores default)."""
+    all devices, like the reference's online-cores default). `target` names
+    the file/stdin source for validation messages (None = bare string
+    search, the -s form); raises PatternValidationError on invalid literal
+    pattern sets — every target kind converges here, so the check can't be
+    bypassed via stdin or -s (round-3 parity bug)."""
     if isinstance(text, str):
         text = text.encode()
+    validate_patterns(params, target)
 
     sel = select_algorithm(params)
     if sel.algorithm is Algorithm.REGEX:
@@ -572,10 +617,13 @@ def search_string(
 def search_file(params: SearchParams, path: str, threads: int | None = None) -> SearchResult:
     """Mirror of search_file (krep.c:2274-3066). -t shapes the device mesh
     the way it shaped the reference's chunk-thread count."""
+    # validation precedes any I/O (krep.c:2298 runs before the stdin read
+    # at 2325 and the open/mmap at 2625)
+    validate_patterns(params, path)
     if path == "-":
         data = sys.stdin.buffer.read()
-        return search_string(params, data, threads)
+        return search_string(params, data, threads, target=path)
     from ..io import files
 
     data = files.read_bytes(path)
-    return search_string(params, data, threads)
+    return search_string(params, data, threads, target=path)

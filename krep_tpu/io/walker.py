@@ -199,7 +199,11 @@ def _walk(base_dir, use_gitignore, parent_gi, err_acc):
 def search_directory(params: SearchParams, base_dir: str, out, color: bool, threads=None) -> int:
     """Search all eligible files under base_dir; returns the process exit
     code (0 match / 1 no match / 2 error), printing per-file results."""
-    from ..engine.search import search_string
+    from ..engine.search import (
+        PatternValidationError,
+        search_string,
+        validate_patterns,
+    )
     from ..output import printer
     from . import files
 
@@ -209,6 +213,25 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
     err_acc = [0]
     any_match = False
     state = {"any_match": False}
+
+    # A bad pattern set fails identically for every file: the reference's
+    # per-file validation inside search_file prints one error line per
+    # walked file and counts it (krep.c:2298-2322 + 3423-3428)
+    try:
+        validate_patterns(params)
+        invalid_core = None
+    except PatternValidationError as e:
+        invalid_core = e.core
+    if invalid_core is not None:
+        for path, _size in _walk(base_dir, use_gi, None, err_acc):
+            sys.stderr.write(f"krep: {path}: {invalid_core}\n")
+            err_acc[0] += 1
+        if err_acc[0]:
+            sys.stderr.write(
+                f"krep: Encountered {err_acc[0]} errors during recursive search.\n"
+            )
+            return 2
+        return 1
 
     def emit(path, data, result):
         state["any_match"] = state["any_match"] or result.matched
@@ -283,5 +306,9 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
     out.flush()
     any_match = state["any_match"]
     if err_acc[0]:
+        # summary line printed by the reference's main (krep.c:3841-3846)
+        sys.stderr.write(
+            f"krep: Encountered {err_acc[0]} errors during recursive search.\n"
+        )
         return 2
     return 0 if any_match else 1

@@ -91,9 +91,9 @@ class SearchParams:
         object.__setattr__(self, "patterns", pats)
         if len(pats) > MAX_PATTERN_LENGTH:
             raise ValueError(f"too many patterns (max {MAX_PATTERN_LENGTH})")
-        for p in pats:
-            if len(p) > MAX_PATTERN_LENGTH:
-                raise ValueError(f"pattern too long (max {MAX_PATTERN_LENGTH})")
+        # NOTE: per-pattern length is NOT validated here — the reference
+        # rejects overlong patterns at search entry with a per-target
+        # message (krep.c:2313-2320); see engine.search.validate_patterns.
 
     # --- derived modes (krep.c:3811-3814) ---
     @property

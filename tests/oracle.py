@@ -48,6 +48,19 @@ def run(args: list[str], stdin: bytes | None = None):
     return p.stdout, p.returncode
 
 
+def run_full(args: list[str], stdin: bytes | None = None, timeout: int = 30):
+    """Run the oracle; returns (stdout, stderr, returncode). Shorter default
+    timeout than run(): validation-error cases return immediately, and some
+    degenerate inputs hang the reference (KNOWN_DIVERGENCES), so callers
+    probing error paths must not stall the suite."""
+    bin_ = ensure_oracle()
+    assert bin_ is not None, "reference oracle unavailable"
+    p = subprocess.run(
+        [str(bin_), *args], input=stdin, capture_output=True, timeout=timeout
+    )
+    return p.stdout, p.stderr, p.returncode
+
+
 def run_on_text(text: bytes, args: list[str]):
     """Write text to a temp file and search it; returns (stdout, rc)."""
     with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:

@@ -89,6 +89,124 @@ def gen_case(rng):
     return text, flags + args
 
 
+def gen_degenerate_case(rng):
+    """Degenerate PATTERN-SET structures the plain generator never emits —
+    exactly the blind spot that let round-3's stdin/-s empty-pattern
+    validation bug survive three rounds of fuzzing (krep.c:2298-2322,
+    2030-2047; reference edge suites at test_multiple_patterns.c:231-283):
+    empty patterns inside multi-pattern sets, duplicates, whole corpus
+    lines as patterns, single bytes, and 1023/1024/1025-byte cap-boundary
+    lengths. Returns (text, args_without_target, target_kind) where
+    target_kind is 'file' | 'stdin' | 'string'."""
+    alpha = np.frombuffer(b"the quick fox_\n", np.uint8)
+    n = int(rng.integers(1, 4000))
+    text = rng.choice(alpha, size=n).tobytes()
+    lines = [l for l in text.split(b"\n") if l]
+
+    pats: list[bytes] = []
+    n_pats = int(rng.integers(1, 6))
+    for _ in range(n_pats):
+        r = rng.random()
+        if r < 0.25:
+            pats.append(b"")  # empty pattern (multi => reference exit 2)
+        elif r < 0.40 and pats:
+            pats.append(pats[int(rng.integers(0, len(pats)))])  # duplicate
+        elif r < 0.55 and lines:
+            pats.append(lines[int(rng.integers(0, len(lines)))])  # whole line
+        elif r < 0.70:
+            pats.append(bytes(rng.choice(alpha, size=1)))  # single byte
+        elif r < 0.85:
+            m = int(rng.choice([1023, 1024, 1025]))  # cap boundary
+            pats.append(bytes(rng.choice(alpha, size=m)).replace(b"\n", b"x"))
+        else:
+            m = int(rng.integers(1, 12))
+            pats.append(bytes(rng.choice(alpha, size=m)))
+    # newline-containing patterns can hang the reference's default print
+    # mode (KNOWN_DIVERGENCES); counting modes are safe
+    must_count = any(b"\n" in p for p in pats)
+
+    target_kind = ["file", "file", "file", "stdin", "string"][
+        int(rng.integers(0, 5))
+    ]
+
+    args: list[str] = []
+    flags: list[str] = []
+    if rng.random() < 0.3:
+        flags.append("-i")
+    if rng.random() < 0.3:
+        flags.append("-w")
+    mode = rng.random()
+    if must_count or mode < 0.4:
+        flags.append("-c")
+    elif mode < 0.7:
+        flags.append("-o")
+    elif mode < 0.8:
+        flags += ["-c", "-o"]
+    if rng.random() < 0.25:
+        flags += ["-m", str(int(rng.integers(0, 5)))]
+
+    if target_kind == "string":
+        # -s carries the first pattern; the rest go via -e (argv order)
+        for p in pats[1:]:
+            args += ["-e", p.decode("latin1")]
+        args += ["-s", pats[0].decode("latin1"),
+                 text.replace(b"\x00", b"x").decode("latin1")]
+    else:
+        for p in pats:
+            args += ["-e", p.decode("latin1")]
+    return text, flags + args, target_kind
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_degenerate_pattern_sets(seed):
+    """Degenerate pattern sets through all three target kinds, diffing
+    stdout AND stderr AND rc (validation errors live on stderr — a
+    stdout-only diff cannot see them)."""
+    from clirun import run_cli
+
+    rng = np.random.default_rng(3000 + seed)
+    for case in range(30):
+        text, args, kind = gen_degenerate_case(rng)
+        if kind == "file":
+            with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+                f.write(text)
+                path = f.name
+            try:
+                got, gerr, rc = run_cli([*args, path])
+                want, werr, wrc = oracle.run_full([*args, path])
+                got = got.replace(path.encode(), b"F")
+                want = want.replace(path.encode(), b"F")
+                gerr = gerr.replace(path.encode(), b"F")
+                werr = werr.replace(path.encode(), b"F")
+            finally:
+                os.unlink(path)
+        elif kind == "stdin":
+            got, gerr, rc = run_cli(args, stdin_bytes=text)
+            want, werr, wrc = oracle.run_full(args, stdin=text)
+        else:  # string (-s): haystack already in args
+            got, gerr, rc = run_cli(args)
+            want, werr, wrc = oracle.run_full(args)
+        ctx = (seed, case, kind, args[:8], text[:120])
+        assert rc == wrc, ctx
+        assert gerr == werr, ctx
+        assert got == want, ctx
+
+
+def test_degenerate_generator_emits_the_round3_bug_shape():
+    """The generator must produce empty-in-multi sets on non-file targets —
+    the exact shape that survived three rounds (VERDICT r3 item 3 asks to
+    prove the new generator would have caught it)."""
+    rng = np.random.default_rng(0)
+    seen = False
+    for _ in range(400):
+        _, args, kind = gen_degenerate_case(rng)
+        pats = [args[i + 1] for i, a in enumerate(args) if a in ("-e", "-s")]
+        if kind in ("stdin", "string") and len(pats) > 1 and "" in pats:
+            seen = True
+            break
+    assert seen, "generator never produced an empty-in-multi non-file case"
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzz_cli_parity(seed):
     rng = np.random.default_rng(1000 + seed)

@@ -234,6 +234,45 @@ def string_stdin_batch(seed: int, cases: int) -> int:
     return cases
 
 
+def degenerate_batch(seed: int, cases: int) -> int:
+    """Soak rig G: degenerate pattern sets (empty-in-multi, duplicates,
+    whole-line, cap-boundary lengths) through file/stdin/-s targets,
+    diffing stdout + STDERR + rc — the stderr diff is what catches
+    validation divergences (round-3's stdin/-s empty-pattern bug)."""
+    from clirun import run_cli
+
+    rng = np.random.default_rng(seed)
+    for case in range(cases):
+        text, args, kind = fo.gen_degenerate_case(rng)
+        path = None
+        try:
+            if kind == "file":
+                with tempfile.NamedTemporaryFile(
+                    suffix=".txt", delete=False
+                ) as f:
+                    f.write(text)
+                    path = f.name
+                got, gerr, rc = run_cli([*args, path])
+                want, werr, wrc = oracle.run_full([*args, path])
+                got = got.replace(path.encode(), b"F")
+                want = want.replace(path.encode(), b"F")
+                gerr = gerr.replace(path.encode(), b"F")
+                werr = werr.replace(path.encode(), b"F")
+            elif kind == "stdin":
+                got, gerr, rc = run_cli(args, stdin_bytes=text)
+                want, werr, wrc = oracle.run_full(args, stdin=text)
+            else:
+                got, gerr, rc = run_cli(args)
+                want, werr, wrc = oracle.run_full(args)
+            if rc != wrc or got != want or gerr != werr:
+                fail(5, seed, case, args, text,
+                     got + b"||" + gerr, want + b"||" + werr, rc, wrc)
+        finally:
+            if path:
+                os.unlink(path)
+    return cases
+
+
 TREE_WORDS = [b"the cat", b"a dog", b"no match here", b"the end", b"THE X",
               b"thing", b"over the lazy dog", b"xyz", b""]
 TREE_EXTS = [".txt", ".log", ".md", ".js", ".min.js", ".png", ".o", ".c",
@@ -347,11 +386,12 @@ def main() -> int:
     total = 0
     rounds = 0
     while time.time() - t0 < a.seconds:
-        total += literal_batch(base + 5 * rounds, 20)
-        total += ere_batch(base + 5 * rounds + 1, 15)
-        total += tree_batch(base + 5 * rounds + 2, 6)
-        total += manypat_batch(base + 5 * rounds + 3, 3)
-        total += string_stdin_batch(base + 5 * rounds + 4, 12)
+        total += literal_batch(base + 6 * rounds, 20)
+        total += ere_batch(base + 6 * rounds + 1, 15)
+        total += tree_batch(base + 6 * rounds + 2, 6)
+        total += manypat_batch(base + 6 * rounds + 3, 3)
+        total += string_stdin_batch(base + 6 * rounds + 4, 12)
+        total += degenerate_batch(base + 6 * rounds + 5, 10)
         rounds += 1
         now = time.time()
         if now - last >= 60:
