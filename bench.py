@@ -66,7 +66,12 @@ def chained_gbps(run_one, n_bytes, K=17, reps=9):
     The tunnel-attached chip is shared and slows down by up to ~3.5x for
     seconds at a time (measured on identical dispatches), so each
     measurement is min-filtered over many interleaved reps — the min pair
-    captures a quiet window; means would report tenant noise."""
+    captures a quiet window; means would report tenant noise.
+
+    Returns (gbps, reps_record): the raw (t1, tK) pairs ship in the JSON so
+    round-over-round deltas are auditable under co-tenant noise (a min
+    alone can't distinguish a regression from a loud window — VERDICT r3
+    item 6)."""
     import jax.numpy as jnp
 
     def timed(k):
@@ -82,7 +87,75 @@ def chained_gbps(run_one, n_bytes, K=17, reps=9):
         tKs.append(timed(K))
         time.sleep(0.05)
     dt = max((min(tKs) - min(t1s)) / (K - 1), 1e-9)
-    return n_bytes / dt / 1e9
+    pair_gbps = sorted(
+        n_bytes / max((tk - t1) / (K - 1), 1e-9) / 1e9
+        for t1, tk in zip(t1s, tKs)
+    )
+    rec = {
+        "K": K,
+        "t1_s": [round(t, 4) for t in t1s],
+        "tK_s": [round(t, 4) for t in tKs],
+        "pair_gbps_min": round(pair_gbps[0], 2),
+        "pair_gbps_median": round(pair_gbps[len(pair_gbps) // 2], 2),
+        "pair_gbps_max": round(pair_gbps[-1], 2),
+    }
+    return n_bytes / dt / 1e9, rec
+
+
+def _oracle_bin():
+    """Build (once) and return the reference oracle binary, or (None,
+    reason). Reuses tests/oracle.ensure_oracle so the bench and the test
+    suite agree on ONE build path (/tmp/krep_oracle_build/krep —
+    BENCH_r03 shipped parity:null because this used to look at a path
+    nothing builds, VERDICT r3 item 1)."""
+    tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    try:
+        import oracle as oracle_mod
+
+        bin_ = oracle_mod.ensure_oracle()
+        if bin_ is None:
+            return None, "reference tree not present"
+        return str(bin_), None
+    except Exception as e:
+        return None, f"oracle build failed: {e}"
+
+
+def oracle_count(args, timeout_s=900):
+    """Reference count for `krep -c [-o] ... target` (single-threaded — the
+    reference's own multithreaded regex/boundary bugs are documented
+    divergences and must not pollute the gate). Returns (count, None) or
+    (None, reason)."""
+    bin_, reason = _oracle_bin()
+    if bin_ is None:
+        return None, reason
+    try:
+        out = subprocess.run(
+            [bin_, "-t", "1", *args], capture_output=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"oracle timed out after {timeout_s}s"
+    if out.returncode not in (0, 1):
+        return None, f"oracle exited {out.returncode}"
+    try:
+        return int(out.stdout.rsplit(b":", 1)[-1]), None
+    except ValueError:
+        return None, "unparseable oracle output"
+
+
+def parity_fields(our_count, args, timeout_s=900):
+    """The per-config count-parity gate (the reference benchmark refuses to
+    time anything until counts agree — benchmark_krep_vs_rg.sh:63-72).
+    Never a silent null: either a real boolean or an explicit reason."""
+    want, reason = oracle_count(args, timeout_s)
+    if want is None:
+        return {"match_count": int(our_count), "oracle_unavailable": reason}
+    return {
+        "match_count": int(our_count),
+        "oracle_count": want,
+        "count_parity_vs_reference": bool(int(our_count) == want),
+    }
 
 
 def emit(metric, gbps, extra=None):
@@ -118,26 +191,28 @@ def config1(staged, n, data_path):
         )
         return lines
 
-    gbps = chained_gbps(run_one, n)
+    gbps, reps = chained_gbps(run_one, n)
     _, lines0, _ = dispatch.scan_literal_staged(
         staged, pattern=PATTERN, case_sensitive=True, whole_word=False,
         want_mask=False, want_lines=True, want_count=False,
     )
     lines0 = int(lines0)
-    parity = None
-    oracle = "/tmp/krep_oracle/krep"
-    if os.path.exists(oracle):
-        out = subprocess.run(
-            [oracle, "-c", "-t", "1", PATTERN.decode(), data_path],
-            capture_output=True, timeout=600,
-        )
-        parity = bool(int(out.stdout.rsplit(b":", 1)[-1]) == lines0)
+    # UNCONDITIONAL parity gate: the bench builds the oracle itself and a
+    # mismatch fails the run loudly (exit 1) — a perf headline without its
+    # correctness gate is how silent regressions ship
+    want, reason = oracle_count(["-c", PATTERN.decode(), data_path])
+    parity = None if want is None else bool(want == lines0)
     extra = {
         "line_count": lines0,
         "count_parity_vs_reference": parity,
         "backend": jax.default_backend(),
         "corpus_bytes": n,
+        "reps": reps,
     }
+    if want is None:
+        extra["oracle_unavailable"] = reason
+    else:
+        extra["oracle_count"] = want
     if _OUTAGE_FALLBACK:
         # The accelerator was unreachable at run time; this line's value is
         # a CPU-backend correctness run, ~3 orders below the chip. Carry the
@@ -155,9 +230,18 @@ def config1(staged, n, data_path):
         gbps,
         extra,
     )
+    if parity is False:
+        # the reference's own benchmark aborts on count mismatch
+        # (benchmark_krep_vs_rg.sh:63-72); match that stance
+        print(
+            json.dumps({"error": "count parity FAILED on the headline config",
+                        "ours": lines0, "oracle": want}),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
-def config2(staged, n):
+def config2(staged, n, data_path):
     """-i -w short pattern (memchr-class path), count matches."""
     from krep_tpu.ops import dispatch
 
@@ -169,10 +253,17 @@ def config2(staged, n):
         )
         return c
 
-    emit("-i -w single-char match-count scan (config 2)", chained_gbps(run_one, n))
+    gbps, reps = chained_gbps(run_one, n)
+    c0, _, _ = dispatch.scan_literal_staged(
+        staged, pattern=b"e", case_sensitive=False, whole_word=True,
+        want_mask=False, want_lines=False,
+    )
+    extra = parity_fields(int(c0), ["-c", "-o", "-i", "-w", "e", data_path])
+    extra["reps"] = reps
+    emit("-i -w single-char match-count scan (config 2)", gbps, extra)
 
 
-def config3(staged, n):
+def config3(staged, n, data_path):
     """16 literals fused (Aho-Corasick capability), total match count."""
     from krep_tpu.ops import pallas_swar
 
@@ -188,7 +279,18 @@ def config3(staged, n):
         )
         return c
 
-    emit("16-literal multi-pattern fused scan (config 3)", chained_gbps(run_one, n))
+    gbps, reps = chained_gbps(run_one, n)
+    c0, _, _ = pallas_swar.scan_multi(
+        staged.u32, staged.true_len, patterns=pats,
+        case_sensitive=True, whole_word=False,
+        want_mask=False, want_lines=False,
+    )
+    args16 = ["-c", "-o"]
+    for w in pats:
+        args16 += ["-e", w.decode()]
+    extra = parity_fields(int(c0), [*args16, data_path])
+    extra["reps"] = reps
+    emit("16-literal multi-pattern fused scan (config 3)", gbps, extra)
 
     # 64 literals, single fused pass (FUSED_MAX) — the large -f regime
     pats64 = []
@@ -222,7 +324,25 @@ def config3(staged, n):
             staged_z.with_len(n - j), pats64, True, False, strict=False
         )
 
-    emit("64-literal multi-pattern count (config 3b, MXU route)", chained_gbps(run64, n))
+    gbps64, reps64 = chained_gbps(run64, n)
+    # exact count on the TRUE corpus (staged_z's zeroed tail is a timing
+    # artifact) for the parity gate
+    c64 = int(multi_mod.fused_count_device(staged, pats64, True, False,
+                                           strict=True))
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pats", delete=False) as pf:
+        pf.write(b"\n".join(pats64))
+        patpath = pf.name
+    try:
+        extra64 = parity_fields(
+            c64, ["-c", "-o", "-f", patpath, data_path]
+        )
+    finally:
+        os.unlink(patpath)
+    extra64["reps"] = reps64
+    emit("64-literal multi-pattern count (config 3b, MXU route)", gbps64,
+         extra64)
     del staged_z
 
 
@@ -301,8 +421,8 @@ def config4(n, data_path):
         )
         return c + mask.reshape(-1)[0].astype(jnp.int32)
 
-    gbps_count = chained_gbps(count_pass, n)
-    gbps_mask = chained_gbps(mask_pass, n)
+    gbps_count, reps_count = chained_gbps(count_pass, n)
+    gbps_mask, reps_mask = chained_gbps(mask_pass, n)
 
     # one full host pass: compaction + line ranges + native regexec loop
     _, _, mask = pallas_swar.scan_multi(
@@ -331,18 +451,21 @@ def config4(n, data_path):
     t_host = t_compact + t_ranges + t_regexec
     t_device = n / (gbps_count * 1e9) + n / (gbps_mask * 1e9)
     e2e = n / (t_device + t_host) / 1e9
+    extra = parity_fields(int(count), ["-c", "-o", "-E", src.decode(), path4])
+    extra.update(
+        {"factor_scan_gbps": round(gbps_count, 3),
+         "mask_pass_gbps": round(gbps_mask, 3),
+         "candidate_lines": int(len(ranges)),
+         "candidate_line_density_pct": round(100 * cand_bytes / n, 2),
+         "host_seconds": round(t_host, 3),
+         "compact_s": round(t_compact, 3),
+         "ranges_s": round(t_ranges, 3),
+         "regexec_s": round(t_regexec, 3),
+         "reps_count": reps_count,
+         "reps_mask": reps_mask})
     emit("POSIX ERE '[A-Z][a-z]+ing' (config 4, factor-hit corpus: device "
          "count+mask passes + host regexec on candidate lines)",
-         e2e,
-         {"matches": int(count),
-          "factor_scan_gbps": round(gbps_count, 3),
-          "mask_pass_gbps": round(gbps_mask, 3),
-          "candidate_lines": int(len(ranges)),
-          "candidate_line_density_pct": round(100 * cand_bytes / n, 2),
-          "host_seconds": round(t_host, 3),
-          "compact_s": round(t_compact, 3),
-          "ranges_s": round(t_ranges, 3),
-          "regexec_s": round(t_regexec, 3)})
+         e2e, extra)
 
 
 def config5():
@@ -409,7 +532,7 @@ def config6(staged, n, data_path):
         )
         return c + mask.reshape(-1)[0].astype(jnp.int32)
 
-    gbps_mask = chained_gbps(mask_pass, n)
+    gbps_mask, reps_mask = chained_gbps(mask_pass, n)
 
     _, _, mask = pallas_swar.scan_multi(
         staged.u32, staged.true_len, patterns=(pat,),
@@ -441,16 +564,20 @@ def config6(staged, n, data_path):
     r = search_string(p, np.asarray(data), threads=1)
     t_memchr = time.perf_counter() - t0
 
+    extra = parity_fields(
+        int(len(positions)), ["-c", "-o", pat.decode(), data_path]
+    )
+    extra.update(
+        {"mask_pass_gbps": round(gbps_mask, 3),
+         "compact_s": round(t_compact, 3),
+         "policy_s": round(t_policy, 3),
+         "print_s": round(t_print, 3),
+         "memchr_short_cli_path_s": round(t_memchr, 3),
+         "memchr_short_matches": int(r.count),
+         "reps_mask": reps_mask})
     emit("-o positions at scale (config 6: device mask + packed compaction "
          "+ greedy policy + bulk -o printer to /dev/null)",
-         e2e,
-         {"matches": int(len(positions)),
-          "mask_pass_gbps": round(gbps_mask, 3),
-          "compact_s": round(t_compact, 3),
-          "policy_s": round(t_policy, 3),
-          "print_s": round(t_print, 3),
-          "memchr_short_cli_path_s": round(t_memchr, 3),
-          "memchr_short_matches": int(r.count)})
+         e2e, extra)
 
 
 def _probe_tpu(timeout_s: float = 150.0, tries: int = 2) -> bool:
@@ -461,10 +588,13 @@ def _probe_tpu(timeout_s: float = 150.0, tries: int = 2) -> bool:
     back to CPU and emit an honest (tagged) JSON line instead of hanging
     the driver. One implementation, shared with the mesh's
     guard_default_backend (bench wants a longer budget than the mesh's
-    default, hence the explicit args)."""
+    default, hence the explicit args). fresh=True: the bench must not
+    inherit a stale cached "bad" verdict — a recovered chip is re-detected
+    within THIS invocation (the probe result refreshes the cache for
+    everyone else)."""
     from krep_tpu.parallel.mesh import _default_backend_initializes
 
-    return _default_backend_initializes(timeout_s, tries)
+    return _default_backend_initializes(timeout_s, tries, fresh=True)
 
 
 def main():
@@ -496,8 +626,8 @@ def main():
 
     config1(staged, n, path)
     if "--all" in sys.argv:
-        config2(staged, n)
-        config3(staged, n)
+        config2(staged, n, path)
+        config3(staged, n, path)
         config4(n, path)
         config5()
         config6(staged, n, path)

@@ -365,6 +365,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
             # (krep.c:2298 precedes the fread loop at 2325)
             validate_patterns(params, "-")
             data = sys.stdin.buffer.read()
+            # the reference's search_string takes a C string (text_len =
+            # strlen(text), krep.c:2025), so stdin data TRUNCATES at the
+            # first NUL byte — file targets don't (mmap + stat size).
+            # Found by soak rig G on a binary corpus.
+            nul = data.find(b"\0")
+            if nul != -1:
+                data = data[:nul]
             result = search_string(params, data, threads, target="-")
             _emit(out, result, data, None, params, color)
     except PatternValidationError as e:

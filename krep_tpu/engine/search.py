@@ -622,6 +622,11 @@ def search_file(params: SearchParams, path: str, threads: int | None = None) -> 
     validate_patterns(params, path)
     if path == "-":
         data = sys.stdin.buffer.read()
+        # reference stdin delegates to search_string whose text_len is
+        # strlen(text) (krep.c:2025, 2392): data truncates at the first NUL
+        nul = data.find(b"\0")
+        if nul != -1:
+            data = data[:nul]
         return search_string(params, data, threads, target=path)
     from ..io import files
 

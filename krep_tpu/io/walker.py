@@ -244,34 +244,53 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
         else:
             printer.print_matching_lines(out, data, result.positions, path, color)
 
-    # Pipelined batches: a filled batch is SUBMITTED (staging + device
-    # compute launch asynchronously) and drained WINDOW batches later, so
-    # walking/reading the next files overlaps the device work — the async
-    # replacement for the reference's serial per-file launches
-    # (krep.c:3402-3430). Emission order stays walk order: batches drain
-    # FIFO, and solo files force a full drain first.
+    # Pipelined batches with an ORDERED EMIT QUEUE: work items (submitted
+    # batches and solo-file results) queue in walk order and emit strictly
+    # head-first, so output order stays byte-identical to walk order — but
+    # a solo (non-batchable) file no longer forces a full drain of the
+    # in-flight batches (round-3 weak #6: a tree alternating large/small
+    # files serialized the pipeline). A solo's result simply waits in the
+    # queue behind the batches submitted before it; batches drain lazily
+    # as the window advances. The reference has per-file launches and no
+    # such interaction at all (krep.c:3402-3430).
     WINDOW = 2
+    SOLO_HELD_MAX = 256 << 20  # bound bytes parked behind pending batches
     building = batch_mod.Batch()
-    in_flight: list = []
+    # FIFO of ("batch", PendingBatch) | ("solo", path, data, result)
+    queue: list = []
+    held_bytes = [0]
 
-    def drain_one():
-        p = in_flight.pop(0)
+    def emit_ready_solos():
+        while queue and queue[0][0] == "solo":
+            _, path, data, result = queue.pop(0)
+            held_bytes[0] -= len(data)
+            emit(path, data, result)
+
+    def drain_head_batch():
+        _, p = queue.pop(0)
         for path, fdata, result in batch_mod.drain_batch(params, p):
             emit(path, fdata, result)
+        emit_ready_solos()
+
+    def pending_batches() -> int:
+        return sum(1 for item in queue if item[0] == "batch")
 
     def submit_building():
         nonlocal building
         if not building.entries:
             return
-        in_flight.append(batch_mod.submit_batch(params, building))
+        queue.append(("batch", batch_mod.submit_batch(params, building)))
         building = batch_mod.Batch()
-        if len(in_flight) > WINDOW:
-            drain_one()
+        while pending_batches() > WINDOW:
+            drain_head_batch()
 
     def drain_all():
         submit_building()
-        while in_flight:
-            drain_one()
+        while queue:
+            if queue[0][0] == "solo":
+                emit_ready_solos()
+            else:
+                drain_head_batch()
 
     for path, size in _walk(base_dir, use_gi, None, err_acc):
         if batch_mod.eligible(params, size):
@@ -286,7 +305,9 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             if building.full:
                 submit_building()
             continue
-        drain_all()  # preserve walk-order output around solo files
+        # solo file: the partially-built batch holds files walked BEFORE
+        # this one, so submit it (order marker) — but don't drain anything
+        submit_building()
         try:
             data = files.read_bytes(path)
         except OSError as e:
@@ -301,7 +322,11 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             sys.stderr.write(f"krep: {path}: {e}\n")
             err_acc[0] += 1
             continue
-        emit(path, data, result)
+        queue.append(("solo", path, data, result))
+        held_bytes[0] += len(data)
+        emit_ready_solos()
+        while held_bytes[0] > SOLO_HELD_MAX and queue and queue[0][0] == "batch":
+            drain_head_batch()  # cap memory parked behind pending batches
     drain_all()
     out.flush()
     any_match = state["any_match"]

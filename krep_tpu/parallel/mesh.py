@@ -499,31 +499,40 @@ def _probe_cache_path(code: str) -> str:
     return os.path.join(d, f"probe_{key}")
 
 
-def _default_backend_initializes(timeout_s: float, tries: int) -> bool:
+def _default_backend_initializes(
+    timeout_s: float, tries: int, fresh: bool = False
+) -> bool:
     """True iff the default jax backend enumerates in a bounded time in a
     fresh subprocess of this environment. The axon-tunneled TPU client can
     HANG at init (not just raise) during an outage; probing out-of-process
-    keeps this process free to fall back."""
+    keeps this process free to fall back.
+
+    fresh=True skips the cached verdict (still refreshing it on the way
+    out): bench.py must re-detect a recovered chip immediately instead of
+    inheriting a stale "bad" verdict for up to _PROBE_TTL_BAD seconds —
+    a CPU-tagged bench record on a healthy chip wastes the whole round's
+    measurement (VERDICT r3 weak #7)."""
     import time
 
     code = os.environ.get("KREP_TPU_PROBE_CODE", _PROBE_CODE)
     cache = _probe_cache_path(code)
     budget = timeout_s * tries
-    try:
-        with open(cache) as f:
-            fields = f.read().split()
-        verdict = fields[0] if fields else ""
-        cached_budget = float(fields[1]) if len(fields) > 1 else 0.0
-        age = time.time() - os.stat(cache).st_mtime
-        if verdict == "ok" and age < _PROBE_TTL_OK:
-            return True
-        # a cached FAILURE only binds callers with an equal-or-smaller
-        # budget: bench probes with a longer timeout than the CLI default
-        # and must not inherit the CLI's short-budget verdict
-        if verdict == "bad" and age < _PROBE_TTL_BAD and cached_budget >= budget:
-            return False
-    except (OSError, ValueError):
-        pass
+    if not fresh:
+        try:
+            with open(cache) as f:
+                fields = f.read().split()
+            verdict = fields[0] if fields else ""
+            cached_budget = float(fields[1]) if len(fields) > 1 else 0.0
+            age = time.time() - os.stat(cache).st_mtime
+            if verdict == "ok" and age < _PROBE_TTL_OK:
+                return True
+            # a cached FAILURE only binds callers with an equal-or-smaller
+            # budget: bench probes with a longer timeout than the CLI default
+            # and must not inherit the CLI's short-budget verdict
+            if verdict == "bad" and age < _PROBE_TTL_BAD and cached_budget >= budget:
+                return False
+        except (OSError, ValueError):
+            pass
     ok = False
     for _ in range(tries):
         try:

@@ -125,6 +125,54 @@ def test_pipeline_solo_file_ordering(tmp_path, monkeypatch):
         assert int(cnt) == naive.matched_lines(text, starts), path
 
 
+def test_ordered_emit_queue_no_stall_across_solos(tmp_path, monkeypatch):
+    """Alternating solo/batchable files: emission must stay exactly walk
+    order, AND the pipeline must keep batches in flight ACROSS solo files
+    (the round-3 stall: every solo forced a full drain, serializing mixed
+    trees — VERDICT r3 item 8)."""
+    from krep_tpu.io import walker
+
+    monkeypatch.setattr(batch_mod, "BATCH_BUFFER_MAX", 1 << 30)  # never full
+    d = tmp_path / "mix"
+    d.mkdir()
+    for i in range(12):
+        if i % 2:
+            text = naive.gen_english(50 + i, batch_mod.BATCH_FILE_MAX + 4096)
+        else:
+            text = naive.gen_english(200 + i, 700)
+        (d / f"f{i:02d}.txt").write_bytes(text)
+
+    in_flight = [0]
+    max_in_flight = [0]
+    real_submit, real_drain = batch_mod.submit_batch, batch_mod.drain_batch
+
+    def submit(params, batch):
+        in_flight[0] += 1
+        max_in_flight[0] = max(max_in_flight[0], in_flight[0])
+        return real_submit(params, batch)
+
+    def drain(params, pending):
+        in_flight[0] -= 1
+        yield from real_drain(params, pending)
+
+    monkeypatch.setattr(batch_mod, "submit_batch", submit)
+    monkeypatch.setattr(batch_mod, "drain_batch", drain)
+
+    got, rc = ours(["-r", "-c", "the", str(d)])
+    lines = got.splitlines()
+    walk_order = [p for p, _ in walker._walk(str(d), False, None, [0])]
+    assert [l.rsplit(b":", 1)[0].decode() for l in lines] == walk_order
+    for line in lines:
+        path, cnt = line.rsplit(b":", 1)
+        text = open(path, "rb").read()
+        assert int(cnt) == naive.matched_lines(
+            text, naive.all_starts(text, b"the")
+        ), path
+    # the old drain-all-on-solo rule capped in-flight batches at 1 here;
+    # the ordered queue must carry >= 2 across the solo boundaries
+    assert max_in_flight[0] >= 2, max_in_flight[0]
+
+
 def test_count_policy_gate_nonoverlap(tmp_path):
     """-c -o with a non-ALL advance policy must NOT use raw device counts
     (greedy non-overlap reduces the count)."""

@@ -178,6 +178,21 @@ def test_gitignore_parity(tmp_path):
     assert rc == want_rc
 
 
+def test_stdin_nul_truncation_parity():
+    """Reference stdin delegates to search_string whose text_len is
+    strlen(text) (krep.c:2025): stdin data truncates at the first NUL.
+    File targets are binary-safe (mmap + stat size). Found by soak rig G
+    on a binary corpus (round 4)."""
+    from clirun import run_cli
+
+    for data in (b"A\x00AAA", b"AA\x00AAA", b"\x00AAA", b"AAA\nA\x00A\n"):
+        for args in (["-c", "-o", "A"], ["-c", "A"], ["-o", "A"], ["A"]):
+            got, _, rc = run_cli(args, stdin_bytes=data)
+            want, wrc = oracle.run(args, stdin=data)
+            assert got == want, (data, args, got, want)
+            assert rc == wrc, (data, args)
+
+
 def test_max_count_invalid_values_warn_like_reference(tmp_path):
     """strtol semantics (krep.c:3511-3520): out-of-range or garbage -m
     values warn on stderr and are IGNORED (no abort)."""

@@ -150,7 +150,7 @@ def gen_flags(rng):
     return flags
 
 
-def ref_would_hang(pat: bytes, flags, text: bytes = b"") -> bool:
+def ref_would_hang(pat: bytes, flags, text: bytes = b"", src: bytes | None = None) -> bool:
     """The reference binary INFINITE-LOOPS in default print mode when a
     match starts exactly on a line end: the same-line skip at
     krep.c:867-871 only advances past matches with start < line_end, so a
@@ -163,7 +163,8 @@ def ref_would_hang(pat: bytes, flags, text: bytes = b"") -> bool:
     hang."""
     if "-c" in flags or "-o" in flags:
         return False
-    src = b"\\b" + pat + b"\\b" if "-w" in flags else pat
+    if src is None:
+        src = b"\\b" + pat + b"\\b" if "-w" in flags else pat
     cflags = regex_engine.REG_EXTENDED | regex_engine.REG_NEWLINE
     if "-i" in flags:
         cflags |= regex_engine.REG_ICASE
@@ -244,6 +245,81 @@ def test_ere_cli_parity_corner_patterns():
             got, rc, want, wrc = run_cli_vs_oracle(text, args)
             assert got == want, (pat, flags, got[:200], want[:200])
             assert rc == wrc, (pat, flags, rc, wrc)
+
+
+def _multi_case(rng):
+    """2-4 -e EREs + flags, with the reference's combined-OR + \\b-wrapped
+    source (krep.c:2087-2161) built for the hang dodge."""
+    text = gen_corpus(rng)
+    k = int(rng.integers(2, 5))
+    pats = [gen_pattern(rng) for _ in range(k)]
+    flags = gen_flags(rng)
+    params = SearchParams(
+        patterns=tuple(pats), use_regex=True,
+        whole_word="-w" in flags, case_sensitive="-i" not in flags,
+    )
+    src = regex_engine.build_regex_source(params)
+    if ref_would_hang(b"", flags, text, src=src):
+        flags.append("-c")
+    return text, pats, flags, src
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_ere_multi_pattern_cli_parity(seed):
+    """Randomized multi-pattern EREs through the CLI (VERDICT r3 item 7):
+    the combined-OR + per-pattern \\b wrapping source construction
+    (krep.c:2087-2161) was untested by randomization — single-pattern fuzz
+    can't see grouping/precedence bugs in the combiner (e.g. 'a|b' + '-w'
+    must become (\\ba|b\\b) per PATTERN, not per branch)."""
+    rng = np.random.default_rng(52_000 + seed)
+    for case in range(25):
+        text, pats, flags, _ = _multi_case(rng)
+        args = ["-E", *flags]
+        for p in pats:
+            args += ["-e", p.decode("latin1")]
+        got, rc, want, wrc = run_cli_vs_oracle(text, args)
+        assert got == want, (seed, case, pats, got[:200], want[:200])
+        assert rc == wrc, (seed, case, pats)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_ere_multi_pattern_filtered_vs_plain(seed, monkeypatch):
+    """The factor prefilter over COMBINED multi-pattern sources vs the plain
+    engine — the analyzer must derive sound factors across the ORed
+    branches or decline; silently wrong factors would drop matches."""
+    monkeypatch.setattr(
+        regex_engine, "_union_literal_starts",
+        lambda arr, lits, case_sensitive: exact_union_starts(
+            arr, lits, case_sensitive
+        ),
+    )
+    rng = np.random.default_rng(62_000 + seed)
+    exercised = 0
+    for case in range(50):
+        text, pats, flags, src = _multi_case(rng)
+        params = params_from_flags(pats[0], flags).with_(patterns=tuple(pats))
+        analysis = ere_analyze.analyze(regex_engine.build_regex_source(params))
+        if analysis is None or not analysis.newline_safe or not analysis.literals:
+            continue
+        try:
+            r_seq = regex_engine._search_regex_seq(params, text)
+        except regex_engine.RegexError:
+            with pytest.raises(regex_engine.RegexError):
+                regex_engine._search_regex_filtered(
+                    params, text, analysis.literals
+                )
+            continue
+        for force_python in (False, True):
+            r_f = regex_engine._search_regex_filtered(
+                params, text, analysis.literals, force_python=force_python
+            )
+            if r_f is None:
+                break
+            exercised += 1
+            ctx = (seed, case, pats, flags, force_python)
+            assert r_f.count == r_seq.count, ctx
+            assert np.array_equal(r_f.positions, r_seq.positions), ctx
+    assert exercised >= 10, exercised
 
 
 # ------------------ B: filtered fast path vs plain engine -------------------

@@ -94,14 +94,25 @@ def ere_batch(seed: int, cases: int) -> int:
 
     rng = np.random.default_rng(seed)
     for case in range(cases):
-        text = fr.gen_corpus(rng)
-        pat = fr.gen_pattern(rng)
-        flags = fr.gen_flags(rng)
-        if fr.ref_would_hang(pat, flags, text):
-            flags.append("-c")  # dodge the reference's print-mode hang
-        if rng.random() < 0.2:
-            flags = ["--color=always", *flags]
-        args = ["-E", *flags, "-e", pat.decode("latin1")]
+        if rng.random() < 0.3:
+            # multi-pattern EREs: the combined-OR + \b-wrapping source
+            # (krep.c:2087-2161) x the factor prefilter
+            text, pats, flags, _ = fr._multi_case(rng)
+            if rng.random() < 0.2:
+                flags = ["--color=always", *flags]
+            args = ["-E", *flags]
+            for p in pats:
+                args += ["-e", p.decode("latin1")]
+            pat = b"|".join(pats)
+        else:
+            text = fr.gen_corpus(rng)
+            pat = fr.gen_pattern(rng)
+            flags = fr.gen_flags(rng)
+            if fr.ref_would_hang(pat, flags, text):
+                flags.append("-c")  # dodge the reference's print-mode hang
+            if rng.random() < 0.2:
+                flags = ["--color=always", *flags]
+            args = ["-E", *flags, "-e", pat.decode("latin1")]
         try:
             got, rc, want, wrc = fr.run_cli_vs_oracle(text, args)
         except subprocess.TimeoutExpired:
