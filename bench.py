@@ -343,6 +343,50 @@ def config3(staged, n, data_path):
     extra64["reps"] = reps64
     emit("64-literal multi-pattern count (config 3b, MXU route)", gbps64,
          extra64)
+
+    # config 3c: 64 literals of MIXED lengths 4-20 bytes — the realistic
+    # -f word-set regime (VERDICT r3 item 5). Members >13 bytes force the
+    # MXU kernel's two-window AND (second dot over window bytes 16..31);
+    # previously such sets fell to the K-linear VPU path.
+    rng3c = np.random.default_rng(777)
+    corpus_words = (
+        b"the quick brown fox jumps over a lazy dog and then some more "
+        b"words it was time for Sherlock to breathe deeply in the theatre"
+    ).split()
+    pats_mixed = []
+    while len(pats_mixed) < 64:
+        k = int(rng3c.integers(1, 4))
+        ws = [corpus_words[int(i)] for i in rng3c.integers(0, len(corpus_words), k)]
+        p = b" ".join(ws)[: int(rng3c.integers(4, 21))]
+        if len(p) >= 4 and p not in pats_mixed:
+            pats_mixed.append(p)
+    pats_mixed = tuple(pats_mixed)
+    assert any(len(p) > 13 for p in pats_mixed)
+
+    def run3c(j):
+        return multi_mod.fused_count_device(
+            staged_z.with_len(n - j), pats_mixed, True, False, strict=False
+        )
+
+    gbps3c, reps3c = chained_gbps(run3c, n)
+    c3c = int(multi_mod.fused_count_device(staged, pats_mixed, True, False,
+                                           strict=True))
+    with tempfile.NamedTemporaryFile(suffix=".pats", delete=False) as pf:
+        pf.write(b"\n".join(pats_mixed))
+        patpath = pf.name
+    try:
+        extra3c = parity_fields(
+            c3c, ["-c", "-o", "-f", patpath, data_path]
+        )
+    finally:
+        os.unlink(patpath)
+    extra3c["reps"] = reps3c
+    extra3c["pattern_lengths"] = sorted({len(p) for p in pats_mixed})
+    emit(
+        "64-literal mixed-length (4-20B) multi-pattern count "
+        "(config 3c, MXU two-window route)",
+        gbps3c, extra3c,
+    )
     del staged_z
 
 

@@ -89,7 +89,8 @@ def _mxu_eligible(patterns, whole_word):
         and not whole_word
         and len(patterns) >= MXU_MIN_K
         and all(
-            0 < len(p) <= mxu_multi.MAX_LEN and 0 not in p for p in patterns
+            0 < len(p) <= mxu_multi.MAX_LEN_LONG and 0 not in p
+            for p in patterns
         )
     )
 

@@ -15,7 +15,11 @@ the MXU does the per-pattern work:
         ham[(p,k), w] = sum_{j,b} t_{j,b} * g[(p,k),(j,b)] + sum(patbits)
     so  match <=> D[(p,k), w] == -sum(patbits),  where D = G @ W is ONE
     int8 matmul with contraction EXACTLY 128 (16 byte offsets x 8 bits —
-    the MXU's native width). Patterns up to 13 bytes fit (p + len <= 16).
+    the MXU's native width). Patterns up to 13 bytes fit (p + len <= 16)
+    in one dot; sets with 14..29-byte members run a SECOND dot over
+    stream bytes 16..31 (words w+4..w+7) and AND the two half-window
+    Hamming tests — realistic -f word sets (4-29 byte words) stay on the
+    MXU instead of dropping to the K-linear VPU path.
   * W is built with elementwise ops only: the word stream is presented as
     (segments, 1024) rows (a free row-major reshape of the staged u32
     view), each segment row is sublane-broadcast to 128 rows, and bit
@@ -57,52 +61,101 @@ SEG_PER_STEP = 32         # segment rows per grid step (128 KiB of text)
 # which is the actual bottleneck. Kept as a knob for re-testing on
 # other TPU generations.
 GROUP_SEGS = max(1, int(__import__("os").environ.get("KREP_TPU_MXU_GSEG", "1")))
-MAX_LEN = 13              # p + len <= 16 stream bytes covered by 128 bits
+MAX_LEN = 13              # p + len <= 16 stream bytes covered by one dot
+MAX_LEN_LONG = 29         # p + len <= 32 via the two-window AND (two dots)
 ROWS = 128                # contraction: 16 byte offsets x 8 bits
 
 
 def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
-    """Host-side weight build: G (4Kp, 128) int8, negbias/lens (4Kp, 1)."""
+    """Host-side weight build. Returns (G1, nb1, G2, nb2, lens, bitmask,
+    kp_s) — G2/nb2 are None for an all-short set.
+
+    G1 (4Kp, 128) int8 covers stream bytes 0..15 of each (word, phase)
+    window — the full test for patterns up to 13 bytes, and the FIRST
+    half-window test for 14..29-byte patterns. Patterns are reordered
+    shorts-first so the long members form an 8-row-aligned tail block
+    per phase (kp_s rows of shorts+pad, then kp_l rows of longs+pad);
+    G2 (4*kp_l, 128) carries ONLY the long rows' second half-window
+    (stream bytes 16..31, words w+4..w+7) — the second dot's row count,
+    and hence its MXU cost, scales with the long fraction instead of
+    doubling the whole pass (measured: a full-width second dot landed
+    BELOW the K-linear VPU path on a 4-20-byte K=64 set). Reordering is
+    sound: scan_count returns a total count and a union mask, both
+    order-independent. Padding rows keep negbias1 = 1 (never hit)."""
     from .literal import fold_bytes_host
 
     pats = [p if case_sensitive else fold_bytes_host(p) for p in patterns]
-    K = len(pats)
-    Kp = -(-K // 8) * 8
-    G = np.zeros((4 * Kp, ROWS), np.int8)
-    negbias = np.ones((4 * Kp, 1), np.int32)   # 1 => padding row never hits
+    pats.sort(key=lambda p: len(p) > MAX_LEN)  # stable: shorts first
+    n_short = sum(1 for p in pats if len(p) <= MAX_LEN)
+    n_long = len(pats) - n_short
+    kp_s = -(-n_short // 8) * 8
+    kp_l = -(-n_long // 8) * 8
+    Kp = kp_s + kp_l
+    # second-window contraction is truncated to the WORDS actually used:
+    # max window-2 byte = max(p + len) - 16 over long rows (p <= 3), so a
+    # 4-20-byte -f set builds only 1-2 of the 4 extra word-shift rowsets —
+    # the W2 bit-extraction (not the dot) is the marginal cost that pushed
+    # the full-width variant below the VPU path
+    nwords2 = (
+        0 if not n_long
+        else -(-(3 + max(len(p) for p in pats) - 16) // 4)
+    )
+    rows2 = 32 * nwords2
+    G1 = np.zeros((4 * Kp, ROWS), np.int8)
+    nb1 = np.ones((4 * Kp, 1), np.int32)   # 1 => padding row never hits
     lens = np.full((4 * Kp, 1), 1 << 20, np.int32)
+    G2 = np.zeros((4 * kp_l, rows2), np.int8) if n_long else None
+    nb2 = np.zeros((4 * kp_l, 1), np.int32) if n_long else None
     for p in range(4):
         for k, pat in enumerate(pats):
-            r2 = p * Kp + k
-            s = 0
+            row = k if k < n_short else kp_s + (k - n_short)
+            r1 = p * Kp + row
+            s = [0, 0]
             for d, byte in enumerate(pat):
-                j = p + d
+                w, j = divmod(p + d, 16)
                 for b in range(8):
                     bit = (byte >> b) & 1
-                    G[r2, 8 * j + b] = 1 - 2 * bit
-                    s += bit
-            negbias[r2, 0] = -s
-            lens[r2, 0] = len(pat)
+                    if w == 0:
+                        G1[r1, 8 * j + b] = 1 - 2 * bit
+                    else:
+                        G2[p * kp_l + (k - n_short), 8 * j + b] = 1 - 2 * bit
+                    s[w] += bit
+            nb1[r1, 0] = -s[0]
+            lens[r1, 0] = len(pat)
+            if k >= n_short:
+                nb2[p * kp_l + (k - n_short), 0] = -s[1]
     # per-W-row bit-select masks: row r = bit b of stream byte j (j=r//8,
-    # b=r%8) living at bit 8*(j%4)+b of word (w + j//4)
+    # b=r%8) living at bit 8*(j%4)+b of word (w + j//4); the second
+    # window's rows shift by whole words only, so j%4 — and the mask —
+    # are shared between windows
     bitmask = np.zeros((ROWS, 1), np.uint32)
     for r in range(ROWS):
         j, b = r // 8, r % 8
         bitmask[r, 0] = np.uint32(1) << np.uint32(8 * (j % 4) + b)
     return (
-        jnp.asarray(G),
-        jnp.asarray(negbias),
+        jnp.asarray(G1),
+        jnp.asarray(nb1),
+        None if G2 is None else jnp.asarray(G2),
+        None if nb2 is None else jnp.asarray(nb2),
         jnp.asarray(lens),
         jnp.asarray(bitmask),
+        kp_s,
     )
 
 
 def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                  seg_per_step: int = SEG_PER_STEP, want_mask: bool = False,
-                 has_limit: bool = False):
+                 has_limit: bool = False, windows: int = 1,
+                 kp_s: int = 0, kp_l: int = 0, nwords2: int = 4):
     SPS = seg_per_step
-    def kernel(tl_ref, g_ref, nb_ref, len_ref, bm_ref, main_ref, halo_ref,
-               count_ref, *rest):
+    def kernel(*refs):
+        tl_ref = refs[0]
+        g_refs = refs[1 : 1 + windows]
+        nb_refs = refs[1 + windows : 1 + 2 * windows]
+        len_ref, bm_ref, main_ref, halo_ref, count_ref = refs[
+            1 + 2 * windows : 6 + 2 * windows
+        ]
+        rest = refs[6 + 2 * windows :]
         if want_mask:
             mask_ref, scratch = rest
         else:
@@ -123,8 +176,8 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         buf = jnp.concatenate([main_ref[:], hsel], axis=0)
         if not case_sensitive:
             buf = swar_fold(buf)
-        G = g_ref[:]
-        negbias = nb_ref[:]
+        Gs = [g[:] for g in g_refs]
+        nbs = [nb[:] for nb in nb_refs]
         lens = len_ref[:]
         bitmask = bm_ref[:]
 
@@ -142,7 +195,9 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             start_limit = tl_ref[1] if has_limit else None
 
         # block-level word-shift arrays: E[q][r, l] = word r*SEG_WORDS+l+q
-        # (aligned rolls/wheres only; row r borrows row r+1's first q words)
+        # (aligned rolls/wheres only; row r borrows row r+1's first q words).
+        # The two-window kernel extends to q<8: the second dot's W block
+        # reads words w+4..w+7 (stream bytes 16..31 of the window).
         from .pallas_swar import _roll
 
         nrows_buf = buf.shape[0]
@@ -150,7 +205,8 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             jnp.int32, (nrows_buf, SEG_WORDS), 1
         )
         E = [buf]
-        for q in range(1, 4):
+        max_shift = 4 if windows == 1 else 4 + nwords2
+        for q in range(1, max_shift):
             Rq = _roll(buf, -q, axis=1)
             Sq = _roll(Rq, -1, axis=0)
             E.append(jnp.where(lane_buf < SEG_WORDS - q, Rq, Sq))
@@ -170,30 +226,64 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 
         dcount = jnp.int32(0)
         mrows = []
-        wgrp = []
+        wgrp = [[] for _ in range(windows)]
         for s in range(SPS):
             # rows 0..31 read word w, 32..63 word w+1, ... (concat of
-            # aligned 32-row broadcasts — cheaper than 128-row selects)
-            wsel = jnp.concatenate(
-                [
-                    jnp.broadcast_to(seg_row(E[q], s), (32, SEG_WORDS))
-                    for q in range(4)
-                ],
-                axis=0,
-            )
-            bits = (wsel & bitmask) != jnp.uint32(0)
-            wgrp.append(bits.astype(jnp.int8))
-            if len(wgrp) < gseg:
+            # aligned 32-row broadcasts — cheaper than 128-row selects);
+            # window wi's rows read words w+4*wi..w+4*wi+3
+            for wi in range(windows):
+                nw = 4 if wi == 0 else nwords2
+                wsel = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            seg_row(E[4 * wi + q], s), (32, SEG_WORDS)
+                        )
+                        for q in range(nw)
+                    ],
+                    axis=0,
+                ) if nw > 1 else jnp.broadcast_to(
+                    seg_row(E[4 * wi], s), (32, SEG_WORDS)
+                )
+                bits = (wsel & bitmask[: 32 * nw]) != jnp.uint32(0)
+                wgrp[wi].append(bits.astype(jnp.int8))
+            if len(wgrp[0]) < gseg:
                 continue
-            # one dot per gseg segments: lane-concat (no relayout — W
-            # column c of the group is word (s0*1024 + c), contiguous)
-            W = wgrp[0] if gseg == 1 else jnp.concatenate(wgrp, axis=1)
-            wgrp = []
+            # one dot per (window, gseg segments): lane-concat (no relayout
+            # — W column c of the group is word (s0*1024 + c), contiguous).
+            # Two-window: a 14..29-byte pattern hits iff BOTH half-window
+            # Hamming tests pass (shifted AND at the same 128-contraction).
+            # The second dot runs ONLY over the kp_l long rows per phase —
+            # shorts-first row ordering keeps the long block 8-aligned, so
+            # the extra MXU/compare cost scales with the long fraction
+            # instead of doubling the whole pass.
+            Ws = []
+            for wi in range(windows):
+                Ws.append(
+                    wgrp[wi][0]
+                    if gseg == 1
+                    else jnp.concatenate(wgrp[wi], axis=1)
+                )
+            wgrp = [[] for _ in range(windows)]
             D = jax.lax.dot_general(
-                G, W, (((1,), (0,)), ((), ())),
+                Gs[0], Ws[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )                                            # (n_rows2, gw)
-            hits = D == negbias
+            hits = D == nbs[0]
+            if windows == 2:
+                D2 = jax.lax.dot_general(
+                    Gs[1], Ws[1], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                        # (4*kp_l, gw)
+                hits2 = D2 == nbs[1]
+                parts = []
+                for ph in range(4):
+                    h = hits[ph * (kp_s + kp_l) : (ph + 1) * (kp_s + kp_l)]
+                    if kp_s:
+                        parts.append(h[:kp_s])
+                    parts.append(
+                        h[kp_s:] & hits2[ph * kp_l : (ph + 1) * kp_l]
+                    )
+                hits = jnp.concatenate(parts, axis=0)
             if strict or has_limit:
                 # strict: bound match STARTS to [0, true_len - len + 1)
                 # explicitly (the default path skips this: staged padding
@@ -251,7 +341,14 @@ def scan_count(
 ):
     """Total ALL-overlap match count of K patterns over the staged u32 view
     (dispatch.StagedText.u32, shape (R4 + H4, 128)). Patterns must be
-    1..MAX_LEN bytes. One int8 MXU matmul per 4 KiB segment.
+    1..MAX_LEN_LONG bytes. One int8 MXU matmul per 4 KiB segment when all
+    patterns fit the 16-byte window (<= 13 bytes); a set with longer
+    members (14..29 bytes) adds a SECOND, long-rows-only matmul per
+    segment over stream bytes 16..31, and a long match requires both
+    half-window Hamming tests — the extra cost scales with the long
+    fraction of the set (the reference covers such sets via Aho-Corasick,
+    aho_corasick.c:299-466; here long -f word sets stay on the MXU instead
+    of falling to the K-linear VPU path).
 
     strict=False (default) relies on the staging contract: bytes at and
     beyond true_len in the staged buffer are ZERO, and patterns are
@@ -263,9 +360,10 @@ def scan_count(
     bounds match STARTS to [0, start_limit) — the shard's owned region on
     the mesh path (halo bytes past it belong to the next shard)."""
     if not patterns or any(
-        len(p) == 0 or len(p) > MAX_LEN for p in patterns
+        len(p) == 0 or len(p) > MAX_LEN_LONG for p in patterns
     ):
         raise NotImplementedError("pattern length outside MXU kernel support")
+    windows = 2 if any(len(p) > MAX_LEN for p in patterns) else 1
     rows_total, lanes = text32.shape
     assert lanes == LANES
     from .dispatch import HALO_ROWS
@@ -279,8 +377,14 @@ def scan_count(
     assert n_seg_main % sps == 0, "bucket too small for MXU scan"
     T = n_seg_main // sps
 
-    G, negbias, lens, bitmask = build_tables(patterns, case_sensitive)
-    n_rows2 = G.shape[0]
+    G1, nb1, G2, nb2, lens, bitmask, kp_s = build_tables(
+        patterns, case_sensitive
+    )
+    assert windows == (2 if G2 is not None else 1)
+    Gs = [G1] if G2 is None else [G1, G2]
+    nbs = [nb1] if nb2 is None else [nb1, nb2]
+    n_rows2 = G1.shape[0]
+    kp_l = 0 if G2 is None else G2.shape[0] // 4
     has_limit = start_limit is not None
     tl = jnp.stack(
         [
@@ -303,8 +407,8 @@ def scan_count(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            whole(G),
-            whole(negbias),
+            *[whole(g) for g in Gs],
+            *[whole(nb) for nb in nbs],
             whole(lens),
             whole(bitmask),
             pl.BlockSpec(
@@ -341,8 +445,10 @@ def scan_count(
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
+    nwords2 = 0 if G2 is None else G2.shape[1] // 32
     kernel = _make_kernel(
-        n_rows2, case_sensitive, strict, sps, want_mask, has_limit
+        n_rows2, case_sensitive, strict, sps, want_mask, has_limit, windows,
+        kp_s, kp_l, nwords2,
     )
     out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
     if want_mask:
@@ -354,7 +460,7 @@ def scan_count(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tl, G, negbias, lens, bitmask, view, view)
+    )(tl, *Gs, *nbs, lens, bitmask, view, view)
     if want_mask:
         # same flat packed layout as pallas_swar's mask (word-major)
         return outs[0][0], outs[1].reshape(-1)

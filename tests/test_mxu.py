@@ -66,7 +66,100 @@ def test_mxu_match_at_text_end():
 
 def test_mxu_rejects_long_patterns():
     with pytest.raises(NotImplementedError):
-        run_mxu(TEXT, (b"a" * 14,))
+        run_mxu(TEXT, (b"a" * 30,))
+
+
+# ---- two-window AND: 14..29-byte members (second dot over bytes 16..31)
+
+
+def test_mxu_two_window_mixed_set_vs_naive():
+    pats = (
+        b"the",
+        TEXT[100:114],          # 14 (shortest two-window length)
+        TEXT[500:520],          # 20
+        TEXT[777 : 777 + 29],   # 29 (cap)
+        b"a" * 13,
+        TEXT[3000:3026],        # 26
+    )
+    assert run_mxu(TEXT, pats) == naive_total(TEXT, pats)
+    assert run_mxu(TEXT, pats, strict=True) == naive_total(TEXT, pats)
+
+
+def test_mxu_two_window_case_insensitive():
+    pats = (b"The", TEXT[40:60].upper(), TEXT[900:918].swapcase())
+    assert run_mxu(TEXT, pats, cs=False) == naive_total(TEXT, pats, cs=False)
+
+
+def test_mxu_two_window_boundary_plants():
+    """long matches planted across 4 KiB segment and 128 KiB block
+    boundaries at varied phases, union mask checked position-exact."""
+    pat = b"ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 bytes
+    text = bytearray(b"." * 300_000)
+    spots = [4096 - 13, 4096 - 40, 8192 - 1, 131072 - 12, 131072 - 50,
+             262144 - 7, 0, 300_000 - 25]
+    for s in spots:
+        text[s : s + 25] = pat
+    text = bytes(text)
+    st = dispatch.stage(text)
+    c, mask = mxu_multi.scan_count(
+        st.u32, st.true_len, patterns=(pat, b"ZZ"), want_mask=True,
+        interpret=True,
+    )
+    mk = np.asarray(mask).view(np.uint8)[: len(text)]
+    assert np.flatnonzero(mk).tolist() == sorted(spots)
+    assert int(c) == len(spots)
+
+
+def test_mxu_two_window_start_limit():
+    """start_limit bounds long-pattern match STARTS to the owned region
+    (a start just inside the limit counts even when the match body
+    extends past it — the shard-halo contract)."""
+    import jax.numpy as jnp
+
+    pat = b"ABCDEFGHIJKLMNOPQRSTUVWXY"
+    text = bytearray(b"." * 300_000)
+    spots = [131072 - 12, 131072 - 50, 131072 + 40, 200_000]
+    for s in spots:
+        text[s : s + 25] = pat
+    st = dispatch.stage(bytes(text))
+    c = mxu_multi.scan_count(
+        st.u32, st.true_len, jnp.int32(131072), patterns=(pat,),
+        interpret=True,
+    )
+    # 131060's match BODY crosses the limit but its start is owned
+    assert int(c) == sum(1 for s in spots if s < 131072)
+
+
+def test_mxu_two_window_match_at_text_end():
+    text = b"x" * 5000 + b"needleneedleneedle"
+    pat = text[-18:]
+    assert run_mxu(text, (pat,)) == 1
+    assert run_mxu(text, (pat + b"Z",)) == 0
+
+
+def test_fused_count_router_equivalence_long_members():
+    """the router must agree between MXU (two-window) and VPU routes on a
+    K>=32 set with 14..29-byte members."""
+    from krep_tpu.ops import multi as multi_mod
+    from krep_tpu.ops import pallas_swar
+
+    pats = tuple(
+        TEXT[7 * i : 7 * i + 4 + (i % 26)] for i in range(40)
+    )
+    assert len(pats) >= multi_mod.MXU_MIN_K
+    assert any(len(p) > mxu_multi.MAX_LEN for p in pats)
+    st = dispatch.stage(TEXT)
+    want = naive_total(TEXT, pats)
+    got_mxu = int(
+        mxu_multi.scan_count(
+            st.u32, st.true_len, patterns=pats, interpret=True
+        )
+    )
+    c, _, _ = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats,
+        want_mask=False, want_lines=False, interpret=True,
+    )
+    assert got_mxu == int(c) == want
 
 
 def test_fused_count_router_equivalence():

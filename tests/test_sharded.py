@@ -267,6 +267,33 @@ def test_sharded_mxu_count_matches_single_device():
     assert got == want
 
 
+def test_sharded_mxu_count_two_window_long_members():
+    """the per-shard MXU route with 14..29-byte members (two-window AND):
+    boundary-spanning long matches must still count exactly once."""
+    import jax
+    from jax.sharding import Mesh
+
+    from krep_tpu.parallel import mesh as mesh_mod
+
+    _need_devices(8)
+
+    body = bytearray(naive.gen_english(13, 400_000))
+    pat = b"ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 bytes
+    shard = 400_000 // 8
+    body[shard - 12 : shard + 13] = pat       # straddles shard 0/1
+    body[5 * shard - 3 : 5 * shard + 22] = pat
+    text = bytes(body)
+    pats = (pat,) + tuple(
+        text[11 * i : 11 * i + 4 + (i % 26)] for i in range(40)
+    )
+    want = sum(len(naive.all_starts(text, p)) for p in pats)
+    m = Mesh(np.array(jax.devices()[:8]), ("data",))
+    got = mesh_mod.sharded_count(
+        np.frombuffer(text, np.uint8), pats, mesh=m, interpret=True
+    )
+    assert got == want
+
+
 def _gen_patterns(text, k, seed, min_len=2, max_len=10):
     """k distinct corpus-derived patterns (mostly hitting)."""
     rng = np.random.default_rng(seed)
