@@ -54,6 +54,12 @@ _SCAN_DTYPE = {
     "i8": jnp.int8,
 }[_os.environ.get("KREP_TPU_LINESCAN", "i32")]
 
+# V2 matched-line tail (see _sub_tile): per-word X − S·L identity consumed
+# in the bit-packed domain instead of reconstructing per-byte s_before.
+# Measured on v5e (config 1, 1 GiB, back-to-back min-filtered pairs):
+# 200-204 GB/s vs 187-189 for the reconstruction path — default ON.
+_LINES_V2 = _os.environ.get("KREP_TPU_LINESV2", "1") == "1"
+
 _U = lambda x: jnp.uint32(x)
 
 
@@ -511,6 +517,23 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             EBw = B << _U(8)
             carry = scratch[2]
 
+            # V2 matched-line accounting (KREP_TPU_LINESV2): avoid the
+            # per-byte s_before reconstruction (sb0 expansion + sbw + fw)
+            # entirely via a per-word affine identity:
+            #   dfirst = Σ_w X_w − Σ_w S_w·L_w
+            # X_w = first-matches-per-segment entering state 0 (per-byte
+            # fw0 = g & ~EB0, popcounted), L_w = 1 iff the word's FIRST
+            # segment has a match (its first-match is not a new matched
+            # line when the line is already matched), S_w = state entering
+            # the word — consumed in the bit-packed domain, so the 32-slice
+            # sb0 expansion and its relayouts vanish. Exact: every matched
+            # line is counted once, at its first match.
+            use_v2 = (
+                _LINES_V2
+                and sub_r % 256 == 0
+                and not (want_mask and mask_kind == "first_line")
+            )
+
             if sub_r % 256 == 0:
                 # bit-packed element scans: bit c of packed (r, l) = element
                 # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
@@ -554,9 +577,26 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 S_w = (cbw & EAs) | EBs  # bit c = state entering block c
                 row_state_p = (S_w & WEA) | WEB
                 sb0_p = (row_state_p & LEA) | LEB
-                sb0 = jnp.concatenate(
-                    [(sb0_p >> _U(c)) & _U(1) for c in range(32)], axis=0
-                )
+                if use_v2:
+                    fw0 = g & (EBw ^ one)
+                    x_cnt = ((fw0 * one) >> _U(24)).astype(jnp.int32)
+                    # ≤1 first-match in a word's first segment ⇒ L ∈ {0,1}
+                    Lw = ((fw0 & EAw) * one) >> _U(24)
+                    PL = Lw[0:Pr]
+                    for c in range(1, 32):
+                        PL = PL | (Lw[c * Pr : (c + 1) * Pr] << _U(c))
+                    corr = sb0_p & PL
+                    # SWAR popcount on the (Pr, LANES) correction bits
+                    v = corr - ((corr >> _U(1)) & _U(0x55555555))
+                    v = (v & _U(0x33333333)) + ((v >> _U(2)) & _U(0x33333333))
+                    v = (v + (v >> _U(4))) & _U(0x0F0F0F0F)
+                    pc = ((v * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+                    dfirst = jnp.sum(x_cnt) - jnp.sum(pc)
+                    sb0 = None
+                else:
+                    sb0 = jnp.concatenate(
+                        [(sb0_p >> _U(c)) & _U(1) for c in range(32)], axis=0
+                    )
             else:
                 # element-level composition = byte 3 of the inclusive scan;
                 # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
@@ -583,9 +623,12 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 b_tot = jnp.max(jnp.where(last_row, RBi, 0))
                 sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
 
-            sbw = ((sb0 * one) & EAw) | EBw
-            fw = mword & (sbw ^ one)
-            dfirst = jnp.sum(((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32))
+            if sb0 is not None:
+                sbw = ((sb0 * one) & EAw) | EBw
+                fw = mword & (sbw ^ one)
+                dfirst = jnp.sum(
+                    ((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+                )
 
             new_carry = (carry & a_tot) | b_tot
 
@@ -745,14 +788,13 @@ def _scan_raw(
     # Fetch-block multiplier (KREP_TPU_BLOCKMUL): fetch mult x tile_r rows
     # per grid step and process them as sequential sub-tiles, keeping
     # temporaries tile_r-sized in VMEM (monolithic 4096-row tiles fail to
-    # compile). MEASURED AND REJECTED as a default on v5e at 256 MiB:
-    # mult=2 170.0 vs mult=1 187.2 GB/s (config 1) — the larger
-    # double-buffered input block hurts more than the ~us/step grid
-    # overhead it amortizes; mult=4 overflows scoped VMEM. Kept at 1; the
-    # knob remains for re-measurement on other TPU generations.
+    # compile). Re-measured on v5e under the V2 matched-line tail (whose
+    # dropped sb0 expansion freed VMEM): config 1 mult=2 203.6-206.7 vs
+    # mult=1 200.7 GB/s — default 2 now; mult=4 still overflows scoped
+    # VMEM. (Pre-V2 the ordering was reversed: mult=2 170.0 vs 187.2.)
     block_r = tile_r
     if light and len(patterns) <= 1:
-        mult = int(_os.environ.get("KREP_TPU_BLOCKMUL", "1"))
+        mult = int(_os.environ.get("KREP_TPU_BLOCKMUL", "2"))
         while mult > 1 and R4 % (tile_r * mult) != 0:
             mult //= 2
         block_r = tile_r * mult
