@@ -30,8 +30,11 @@ def test_fresh_probe_ignores_cached_bad_verdict(tmp_path, monkeypatch):
     # cached path: the bad verdict (huge budget, fresh mtime) binds
     assert _default_backend_initializes(1.0, 1, fresh=False) is False
     # bench path: fresh=True bypasses the cache and finds the chip back
+    # (generous budget: the probe is a python subprocess whose startup
+    # alone can exceed 5s when the host is loaded — this test asserts the
+    # bypass logic, not probe latency)
     _write_verdict(str(tmp_path), code, "bad", 9999)
-    assert _default_backend_initializes(5.0, 1, fresh=True) is True
+    assert _default_backend_initializes(60.0, 1, fresh=True) is True
     # ... and the fresh probe REFRESHES the cache so later CLI invocations
     # see the recovery too
     with open(cache) as f:

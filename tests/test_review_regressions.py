@@ -68,12 +68,22 @@ def test_cli_empty_pattern_file(tmp_path):
 
 
 def test_cli_too_many_patterns(tmp_path):
+    """-f silently caps at 1024 patterns like the reference's fgets loop
+    (krep.c:3591: `&& num_patterns_found < MAX_PATTERN_LENGTH` — no
+    error); the 1025th+ patterns are simply never loaded. Oracle-verified:
+    1100 non-matching patterns -> rc 1, no stderr."""
     pf = tmp_path / "many.txt"
-    pf.write_bytes(b"\n".join(b"p%d" % i for i in range(1100)))
+    pf.write_bytes(b"\n".join(b"q%04d" % i for i in range(1100)))
     tf = tmp_path / "t.txt"
-    tf.write_bytes(b"hello\n")
+    tf.write_bytes(b"hello\nq1050\n")
     got, rc = ours(["-f", str(pf), str(tf)])
-    assert rc == 2
+    # q1050 is beyond the cap, so it must NOT match
+    assert rc == 1
+    assert got == b""
+    # a pattern inside the cap still matches
+    tf.write_bytes(b"hello\nq0500\n")
+    got, rc = ours(["-f", str(pf), str(tf)])
+    assert rc == 0
 
 
 def test_cli_invalid_color():
