@@ -60,6 +60,11 @@ _SCAN_DTYPE = {
 # 200-204 GB/s vs 187-189 for the reconstruction path — default ON.
 _LINES_V2 = _os.environ.get("KREP_TPU_LINESV2", "1") == "1"
 
+# No-concat input path (see _make_kernel.kernel): read sub-tiles straight
+# off the input refs and splice the single borrowed row into E() instead
+# of materializing a (block+H4)-row concat per grid step.
+_NOCAT = _os.environ.get("KREP_TPU_NOCAT", "0") == "1"
+
 _U = lambda x: jnp.uint32(x)
 
 
@@ -271,16 +276,45 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             scratch[4] = 0   # stats: a newline has been seen
             scratch[5] = 0   # stats: match in the leading segment (lead)
 
-        buf_full = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
-        if not case_sensitive:
-            buf_full = swar_fold(buf_full)
+        # no-concat mode: patterns ≤64B only ever borrow ONE row past the
+        # sub-tile (element shift t ≤ 16 ⇒ row shift 0), so instead of
+        # materializing a (block+H4)-row concat copy per grid step, each
+        # sub-tile reads its rows straight off the input ref and splices
+        # the single borrowed row (next sub-tile's row 0, or halo row 0)
+        # into E()'s wrapped lanes. whole-word keeps the concat (its EW
+        # shifts read further ahead).
+        nocat = _NOCAT and not whole_word
+        if nocat:
+            buf_full = None
+        else:
+            buf_full = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
+            if not case_sensitive:
+                buf_full = swar_fold(buf_full)
 
         for h in range(n_sub):
-            _sub_tile(i, h, buf_full, tl_ref, scratch,
+            if nocat:
+                buf_h = main_ref[h * sub_r : (h + 1) * sub_r]
+                r0 = (h + 1) * sub_r
+                nxt = (
+                    main_ref[r0 : r0 + 1]
+                    if h + 1 < n_sub
+                    else halo_ref[0:1]
+                )
+                if not case_sensitive:
+                    buf_h = swar_fold(buf_h)
+                    nxt = swar_fold(nxt)
+                bufs = (buf_h, nxt)
+            else:
+                bufs = None
+            _sub_tile(i, h, buf_full, bufs, tl_ref, scratch,
                       mask_ref if want_mask else None)
 
-    def _sub_tile(i, h, buf_full, tl_ref, scratch, mask_ref):
-        buf = buf_full[h * sub_r : (h + 1) * sub_r + H4]
+    def _sub_tile(i, h, buf_full, bufs, tl_ref, scratch, mask_ref):
+        if bufs is None:
+            buf = buf_full[h * sub_r : (h + 1) * sub_r + H4]
+            nxt = None
+        else:
+            buf, nxt = bufs
         shape = (sub_r, LANES)
         lane_idx = _iota2(shape, 1)
         row_idx = _iota2(shape, 0)
@@ -316,7 +350,19 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             if t in ecache:
                 return ecache[t]
             rs, ls = divmod(t, LANES)
-            if ls == 0:
+            if nxt is not None:
+                # no-concat: buf is exactly sub_r rows; the only
+                # out-of-tile read is the borrowed row's first ls lanes
+                assert rs == 0 and ls < LANES, "no-concat needs t <= 16"
+                if ls == 0:
+                    v = buf
+                else:
+                    rolled = _roll(buf, -ls, axis=1)
+                    v1 = _roll(rolled, -1, axis=0)
+                    hr = jnp.broadcast_to(_roll(nxt, -ls, axis=1), shape)
+                    v1 = jnp.where(row_idx == sub_r - 1, hr, v1)
+                    v = jnp.where(lane_idx < LANES - ls, rolled, v1)
+            elif ls == 0:
                 v = _roll(buf, -rs, axis=0)[:sub_r] if rs else buf[:sub_r]
             else:
                 rolled = _roll(buf, -ls, axis=1)
@@ -368,13 +414,29 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
         has_cand = jnp.any(cand)
 
         true_len = tl_ref[0]
-        nl_flags = swar_has_byte(e0, 0x0A)
-        if has_limit:
-            # newline accounting is owned-region only (element masking is
-            # exact per the start_limit contract above; padding beyond
-            # true_len is zeros → no '\n' there)
-            nl_flags = jnp.where(gbase_arr() < start_limit, nl_flags, _U(0))
-        any_nl = jnp.any(nl_flags != _U(0))
+        # newline machinery only exists for line accounting / shard stats;
+        # pure match counting (-c -o and the count_only fast path) skips
+        # the detection, the any-reduce, and the carry select entirely
+        need_nl = want_lines or want_stats
+        one_ = _U(0x01010101)
+        if need_nl:
+            # k01 = 1 per byte iff byte != '\n', derived directly (two ops
+            # fewer than the bit7-flag detect + normalize + invert chain):
+            # nonzero-byte test on x^0x0A via a carry-safe masked add
+            v_nl = e0 ^ _U(0x0A0A0A0A)
+            k01 = (
+                (((v_nl & _U(0x7F7F7F7F)) + _U(0x7F7F7F7F)) | v_nl)
+                >> _U(7)
+            ) & one_
+            if has_limit:
+                # newline accounting is owned-region only (element masking
+                # is exact per the start_limit contract above; padding
+                # beyond true_len is zeros → no '\n' there)
+                k01 = jnp.where(gbase_arr() < start_limit, k01, one_)
+            any_nl = jnp.any(k01 != one_)
+        else:
+            k01 = None
+            any_nl = jnp.bool_(False)
 
         def full_path(_):
             # per-(pattern, phase) masks, packed immediately as bytes of one
@@ -464,14 +526,18 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                     jnp.int32(0), jnp.zeros((1, 1), jnp.uint32),
                 )
 
-            mword = jnp.zeros(shape, jnp.uint32)  # union across patterns
+            mword = None  # union across patterns
             dcount = jnp.int32(0)
             for kk in range(len(pats)):
                 m_k = lens[kk]
-                mw_k = jnp.zeros(shape, jnp.uint32)
+                mw_k = None
                 for p in range(4):
-                    acc = verified_acc(kk, p)
-                    mw_k = mw_k | (acc.astype(jnp.uint32) << _U(8 * p))
+                    # select-to-constant packs the phase bit in one op
+                    # (astype + shift is two)
+                    accw = jnp.where(
+                        verified_acc(kk, p), _U(1 << (8 * p)), _U(0)
+                    )
+                    mw_k = accw if mw_k is None else (mw_k | accw)
                 if whole_word:
                     qa, ra = divmod(m_k, 4)
                     if ra == 0:
@@ -486,7 +552,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                     dcount = dcount + jnp.sum(
                         ((mw_k * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
                     )
-                mword = mword | mw_k
+                mword = mw_k if mword is None else (mword | mw_k)
 
             if not want_lines:
                 out_w = mword if want_mask else jnp.zeros((1, 1), jnp.uint32)
@@ -498,9 +564,13 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             # a 2-step log-scan on packed bytes, then across elements by the
             # (A,B) affine-bool lane/row scans.
             one = _U(0x01010101)
-            nlw = (nl_flags >> _U(7)) & one   # 1 ⇔ owned '\n'
-            k = nlw ^ one
-            g = mword & k
+            k = k01                           # 1 ⇔ not an owned '\n'
+            # a match flag can coincide with a '\n' byte only when some
+            # pattern STARTS with '\n' — otherwise g = mword exactly
+            if any(p[0:1] == b"\n" for p in pats):
+                g = mword & k
+            else:
+                g = mword
 
             A = k
             B = g
@@ -537,14 +607,21 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             if sub_r % 256 == 0:
                 # bit-packed element scans: bit c of packed (r, l) = element
                 # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
+                # Byte-3 extraction happens INSIDE the slice loop (on 1/32
+                # size data) instead of on the full tile: bit 24 of slice c
+                # routes straight to packed bit c with one shift + one mask.
                 Pr = sub_r // 32
-                Ae32 = (A >> _U(24)) & _U(1)
-                Be32 = (B >> _U(24)) & _U(1)
-                PA = Ae32[0:Pr]
-                PB = Be32[0:Pr]
-                for c in range(1, 32):
-                    PA = PA | (Ae32[c * Pr : (c + 1) * Pr] << _U(c))
-                    PB = PB | (Be32[c * Pr : (c + 1) * Pr] << _U(c))
+
+                def _pack_b24(X):
+                    out = (X[0:Pr] >> _U(24)) & _U(1)
+                    for c in range(1, 32):
+                        s = X[c * Pr : (c + 1) * Pr]
+                        v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
+                        out = out | (v & _U(1 << c))
+                    return out
+
+                PA = _pack_b24(A)
+                PB = _pack_b24(B)
                 pl_idx = _iota2((Pr, LANES), 1)
                 PAi, PBi = _seg_scan_lane_packed(PA, PB, pl_idx)
                 LEA = _roll(PAi, 1, axis=1)
@@ -580,11 +657,14 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 if use_v2:
                     fw0 = g & (EBw ^ one)
                     x_cnt = ((fw0 * one) >> _U(24)).astype(jnp.int32)
-                    # ≤1 first-match in a word's first segment ⇒ L ∈ {0,1}
-                    Lw = ((fw0 & EAw) * one) >> _U(24)
-                    PL = Lw[0:Pr]
+                    # ≤1 first-match in a word's first segment ⇒ L ∈ {0,1};
+                    # the byte-collapse multiply also runs per slice
+                    Lmask = fw0 & EAw
+                    PL = ((Lmask[0:Pr] * one) >> _U(24)) & _U(1)
                     for c in range(1, 32):
-                        PL = PL | (Lw[c * Pr : (c + 1) * Pr] << _U(c))
+                        s = Lmask[c * Pr : (c + 1) * Pr] * one
+                        v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
+                        PL = PL | (v & _U(1 << c))
                     corr = sb0_p & PL
                     # SWAR popcount on the (Pr, LANES) correction bits
                     v = corr - ((corr >> _U(1)) & _U(0x55555555))
@@ -639,6 +719,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 # (reductions stay in int32 — Mosaic lacks unsigned reduces;
                 # the packed flag words fit int32 losslessly)
                 BIG = jnp.int32(1 << 30)
+                nlw = k ^ one                 # 1 ⇔ owned '\n'
                 fi = row_idx * LANES + lane_idx
                 vm = jnp.min(jnp.where(mword != _U(0), fi, BIG))
                 vn = jnp.min(jnp.where(nlw != _U(0), fi, BIG))
