@@ -387,6 +387,34 @@ def config3(staged, n, data_path):
         "(config 3c, MXU two-window route)",
         gbps3c, extra3c,
     )
+
+    # config 3w: the same mixed-length K=64 set with -w — routes the MXU
+    # whole-word boundary dot (previously whole-word fell to the K-linear
+    # VPU path; the reference covers -w at scale via AC + is_word_char,
+    # krep.c:1389-1420).
+    def run3w(j):
+        return multi_mod.fused_count_device(
+            staged_z.with_len(n - j), pats_mixed, True, True, strict=False
+        )
+
+    gbps3w, reps3w = chained_gbps(run3w, n)
+    c3w = int(multi_mod.fused_count_device(staged, pats_mixed, True, True,
+                                           strict=True))
+    with tempfile.NamedTemporaryFile(suffix=".pats", delete=False) as pf:
+        pf.write(b"\n".join(pats_mixed))
+        patpath = pf.name
+    try:
+        extra3w = parity_fields(
+            c3w, ["-w", "-c", "-o", "-f", patpath, data_path]
+        )
+    finally:
+        os.unlink(patpath)
+    extra3w["reps"] = reps3w
+    emit(
+        "64-literal mixed-length whole-word (-w) multi-pattern count "
+        "(config 3w, MXU boundary-dot route)",
+        gbps3w, extra3w,
+    )
     del staged_z
 
 

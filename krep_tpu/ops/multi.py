@@ -84,9 +84,9 @@ def _mxu_eligible(patterns, whole_word):
 
     from . import mxu_multi
 
+    del whole_word  # supported in-kernel since the boundary dot
     return (
         os.environ.get("KREP_TPU_MXU", "auto") != "0"
-        and not whole_word
         and len(patterns) >= MXU_MIN_K
         and all(
             0 < len(p) <= mxu_multi.MAX_LEN_LONG and 0 not in p
@@ -114,6 +114,7 @@ def fused_count_device(staged, patterns, case_sensitive, whole_word,
             total = total + mxu_multi.scan_count(
                 staged.u32, staged.true_len, patterns=g,
                 case_sensitive=case_sensitive, strict=strict,
+                whole_word=whole_word,
             )
             if (
                 max_count is not None
@@ -143,24 +144,21 @@ def fused_count_device(staged, patterns, case_sensitive, whole_word,
 def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
     """Union match-start mask (flat packed-u32, v1 layout) for K patterns:
     MXU bit-matmul when the set qualifies, else fused SWAR. Returns
-    (mask, exact): with whole-word the MXU mask is a SUPERSET (no boundary
-    pruning in-kernel, exact=False) and callers must re-verify boundaries
-    host-side — the superset-safe contract of the slab path
-    (_search_multi_mixed); the SWAR mask prunes in-kernel (exact=True)."""
+    (mask, exact): both kernels prune whole-word boundaries in-kernel now
+    (the MXU via its boundary dot), so the mask is always exact."""
     from . import mxu_multi, pallas_swar
 
-    # whole-word is allowed on this route (superset mask + host
-    # verification); the NUL-free requirement still applies
-    if _mxu_eligible(patterns, whole_word=False):
+    if _mxu_eligible(patterns, whole_word):
         union = None
         for i in range(0, len(patterns), MXU_MAX_PASS):
             g = patterns[i : i + MXU_MAX_PASS]
             _, m = mxu_multi.scan_count(
                 staged.u32, staged.true_len, patterns=g,
                 case_sensitive=case_sensitive, want_mask=True,
+                whole_word=whole_word,
             )
             union = m if union is None else (union | m)
-        return union, not whole_word
+        return union, True
     union = None
     for i in range(0, len(patterns), FUSED_MAX):
         g = patterns[i : i + FUSED_MAX]
@@ -337,7 +335,8 @@ def _search_multi_sharded(
             # MXU bit-matmul per shard — the multi-chip route for large-K
             # pure counting (any K, unlike the fused-pass FUSED_MAX cap)
             total = mesh.sharded_count(
-                data, patterns, case_sensitive=params.case_sensitive, mesh=m
+                data, patterns, case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word, mesh=m,
             )
             return SearchResult(
                 min(total, mc) if mc is not None else total, _EMPTY_POS, n

@@ -32,7 +32,25 @@ the MXU does the per-pattern work:
 Count semantics match the fused path: per-pattern ALL-overlap counts
 summed, i.e. the Aho-Corasick total (AC count == sum of per-pattern BMH
 counts, test_multiple_patterns.c:345-471). Case-insensitive folds text
-and patterns; whole-word and position queries route to the SWAR path.
+and patterns. Whole-word (-w, krep.c:1389-1420's boundary test) rides
+the SAME dot rather than a per-length mask cascade: a match of row r
+(phase p, length m) is word-bounded iff the bytes at offsets p-1 and
+p+m from the word start are both non-word — so ~40 boundary feature
+rows W_b[col(o), w] = is_word_char(byte 4w+o) (o = -1..3+maxlen, built
+from the same segment extracts as W) are appended to W, and G gains
+G[r, 128+col(o)] = 1 at each row's two boundary offsets. Because
+Hamming distance is non-negative, D >= nb with equality exactly at a
+match, and the boundary columns only ADD non-negative violations —
+  D' == nb  <=>  exact match AND both boundary bytes non-word
+— the whole-word test costs ~40 extra contraction rows on the existing
+dot and ZERO extra vector ops at the D stage (the kernel's actual
+bottleneck), independent of how many distinct pattern lengths the set
+has. The is-word flag of the byte PRECEDING each 128 KiB grid block is
+carried across grid steps in SMEM scratch (blocks execute in order on
+TPU); block 0 takes it from the prev_flag scalar, which shard callers
+set to the previous shard's last byte (mesh.build_shards_staged) so -w
+stays exact at shard boundaries. Position queries route to the SWAR
+path.
 """
 
 from __future__ import annotations
@@ -66,9 +84,14 @@ MAX_LEN_LONG = 29         # p + len <= 32 via the two-window AND (two dots)
 ROWS = 128                # contraction: 16 byte offsets x 8 bits
 
 
-def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
+def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool,
+                 whole_word: bool = False):
     """Host-side weight build. Returns (G1, nb1, G2, nb2, lens, bitmask,
-    kp_s) — G2/nb2 are None for an all-short set.
+    kp_s, qs) — G2/nb2 are None for an all-short set. With whole_word,
+    G1 carries the boundary indicator columns appended after the 128
+    Hamming columns, bitmask gains the matching boundary feature-row
+    bit-select masks, and qs is the static tuple of word shifts the
+    boundary features need (() unless whole_word).
 
     G1 (4Kp, 128) int8 covers stream bytes 0..15 of each (word, phase)
     window — the full test for patterns up to 13 bytes, and the FIRST
@@ -132,6 +155,37 @@ def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
     for r in range(ROWS):
         j, b = r // 8, r % 8
         bitmask[r, 0] = np.uint32(1) << np.uint32(8 * (j % 4) + b)
+    qs = ()
+    if whole_word:
+        # boundary feature rows appended to W (and indicator columns to
+        # G1): one group of 4 per word shift q actually touched by some
+        # row's right offset o = p + m (bytes 0..3 of word w+q), plus ONE
+        # row for o = -1 (the byte before the window — phase-0 rows' left
+        # boundary). q = 0 is always present (left boundaries at
+        # o = p-1 ∈ {0,1,2}); the group pads to a multiple of 8 for clean
+        # sublane tiling.
+        offs = sorted({p + len(pat) for p in range(4) for pat in pats})
+        qs = tuple(sorted({0} | {o // 4 for o in offs}))
+        neg_col = 4 * len(qs)
+        BC = -(-(neg_col + 1) // 8) * 8
+        col_of = {
+            4 * q + jj: 4 * qi + jj
+            for qi, q in enumerate(qs)
+            for jj in range(4)
+        }
+        G1 = np.concatenate([G1, np.zeros((4 * Kp, BC), np.int8)], axis=1)
+        mb = np.zeros((BC, 1), np.uint32)
+        for qi in range(len(qs)):
+            for jj in range(4):
+                mb[4 * qi + jj, 0] = np.uint32(1) << np.uint32(8 * jj)
+        mb[neg_col, 0] = 1  # the o=-1 feature row holds 0/1 words
+        bitmask = np.concatenate([bitmask, mb], axis=0)
+        for p in range(4):
+            for k, pat in enumerate(pats):
+                row = k if k < n_short else kp_s + (k - n_short)
+                r1 = p * Kp + row
+                G1[r1, ROWS + (neg_col if p == 0 else col_of[p - 1])] = 1
+                G1[r1, ROWS + col_of[p + len(pat)]] = 1
     return (
         jnp.asarray(G1),
         jnp.asarray(nb1),
@@ -140,13 +194,15 @@ def build_tables(patterns: tuple[bytes, ...], case_sensitive: bool):
         jnp.asarray(lens),
         jnp.asarray(bitmask),
         kp_s,
+        qs,
     )
 
 
 def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                  seg_per_step: int = SEG_PER_STEP, want_mask: bool = False,
                  has_limit: bool = False, windows: int = 1,
-                 kp_s: int = 0, kp_l: int = 0, nwords2: int = 4):
+                 kp_s: int = 0, kp_l: int = 0, nwords2: int = 4,
+                 whole_word: bool = False, qs: tuple = ()):
     SPS = seg_per_step
     def kernel(*refs):
         tl_ref = refs[0]
@@ -224,6 +280,53 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             )
             return jax.lax.bitcast_convert_type(row, jnp.uint32)
 
+        if whole_word:
+            from .pallas_swar import swar_word_flags
+
+            # per-byte is-word-char flags (0x01 per matching byte) over the
+            # block + halo; fold leaves word-char-ness invariant so folded
+            # buf is fine. strict: zero flags at/past true_len (the tail may
+            # hold garbage there) so a match ending exactly at text end
+            # stays word-bounded.
+            wf = swar_word_flags(buf)
+            rowb = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 0)
+            if strict:
+                bbase = ((i * SPS + rowb) * SEG_WORDS + lane_buf) * 4
+                m01 = None
+                for j in range(4):
+                    bj = (bbase + j < true_len).astype(jnp.uint32) << _U(8 * j)
+                    m01 = bj if m01 is None else (m01 | bj)
+                wf = wf & m01
+
+            # flag of the byte PRECEDING this block: carried across grid
+            # steps in SMEM (TPU grid steps run in order); block 0 takes
+            # the caller's prev_flag scalar (0 = start of text / non-word,
+            # or the previous shard's last byte on the mesh path)
+            @pl.when(i == 0)
+            def _():
+                scratch[1] = tl_ref[2]
+
+            pb = scratch[1]
+            # ONF[r, l] = is-word flag of the byte BEFORE word (r, l)
+            # (top byte of the previous word; lane 0 borrows backward
+            # across rows, [0, 0] from the carried scalar)
+            B1 = _roll(wf, 1, axis=1)
+            C1 = _roll(B1, 1, axis=0)
+            PW = jnp.where(lane_buf == 0, C1, B1)
+            ONF = (PW >> _U(24)) & _U(1)
+            ONF = jnp.where(
+                (rowb == 0) & (lane_buf == 0), pb.astype(jnp.uint32), ONF
+            )
+            WFs = {}
+            for q in qs:
+                if q == 0:
+                    WFs[0] = wf
+                else:
+                    Rq = _roll(wf, -q, axis=1)
+                    Sq = _roll(Rq, -1, axis=0)
+                    WFs[q] = jnp.where(lane_buf < SEG_WORDS - q, Rq, Sq)
+            BC = -(-(4 * len(qs) + 1) // 8) * 8
+
         dcount = jnp.int32(0)
         mrows = []
         wgrp = [[] for _ in range(windows)]
@@ -233,18 +336,36 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             # window wi's rows read words w+4*wi..w+4*wi+3
             for wi in range(windows):
                 nw = 4 if wi == 0 else nwords2
-                wsel = jnp.concatenate(
-                    [
+                parts = [
+                    jnp.broadcast_to(
+                        seg_row(E[4 * wi + q], s), (32, SEG_WORDS)
+                    )
+                    for q in range(nw)
+                ]
+                rows = 32 * nw
+                if wi == 0 and whole_word:
+                    # boundary feature rows ride window 0's W block: 4 per
+                    # needed word shift q (bytes 0..3 of word w+q) + the
+                    # o=-1 row, zero-padded to the G1 boundary columns
+                    parts += [
                         jnp.broadcast_to(
-                            seg_row(E[4 * wi + q], s), (32, SEG_WORDS)
+                            seg_row(WFs[q], s), (4, SEG_WORDS)
                         )
-                        for q in range(nw)
-                    ],
-                    axis=0,
-                ) if nw > 1 else jnp.broadcast_to(
-                    seg_row(E[4 * wi], s), (32, SEG_WORDS)
+                        for q in qs
+                    ]
+                    parts.append(seg_row(ONF, s))
+                    padb = BC - (4 * len(qs) + 1)
+                    if padb:
+                        parts.append(
+                            jnp.zeros((padb, SEG_WORDS), jnp.uint32)
+                        )
+                    rows += BC
+                wsel = (
+                    jnp.concatenate(parts, axis=0)
+                    if len(parts) > 1
+                    else parts[0]
                 )
-                bits = (wsel & bitmask[: 32 * nw]) != jnp.uint32(0)
+                bits = (wsel & bitmask[:rows]) != jnp.uint32(0)
                 wgrp[wi].append(bits.astype(jnp.int8))
             if len(wgrp[0]) < gseg:
                 continue
@@ -313,6 +434,18 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 
         if want_mask:
             mask_ref[:] = jnp.concatenate(mrows, axis=0)
+        if whole_word:
+            # carry this block's last-byte flag to the next grid step
+            # (read as pb above before this write)
+            w8 = wf[SPS - 8 : SPS]
+            l8 = jax.lax.broadcasted_iota(jnp.int32, (8, SEG_WORDS), 1)
+            lw = jnp.sum(
+                jnp.where(
+                    (iota8 == 7) & (l8 == SEG_WORDS - 1),
+                    w8.astype(jnp.int32), 0,
+                )
+            )
+            scratch[1] = (lw >> 24) & 1
         scratch[0] += dcount
 
         @pl.when(i == pl.num_programs(0) - 1)
@@ -325,19 +458,22 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "patterns", "case_sensitive", "interpret", "strict", "want_mask"
+        "patterns", "case_sensitive", "interpret", "strict", "want_mask",
+        "whole_word",
     ),
 )
 def scan_count(
     text32: jax.Array,
     true_len: jax.Array,
     start_limit: jax.Array | None = None,
+    prev_flag: jax.Array | int = 0,
     *,
     patterns: tuple[bytes, ...],
     case_sensitive: bool = True,
     interpret: bool = False,
     strict: bool = False,
     want_mask: bool = False,
+    whole_word: bool = False,
 ):
     """Total ALL-overlap match count of K patterns over the staged u32 view
     (dispatch.StagedText.u32, shape (R4 + H4, 128)). Patterns must be
@@ -358,7 +494,13 @@ def scan_count(
     buffer whose tail past true_len may hold non-zero bytes
     (e.g. StagedText.with_len). start_limit (traced scalar) additionally
     bounds match STARTS to [0, start_limit) — the shard's owned region on
-    the mesh path (halo bytes past it belong to the next shard)."""
+    the mesh path (halo bytes past it belong to the next shard).
+
+    whole_word=True applies the reference's -w boundary test
+    (krep.c:1389-1420) via the boundary dot (module docstring);
+    prev_flag (traced scalar, 0/1) is the is-word-char flag of the byte
+    preceding text32's first byte — 0 at start of text, the previous
+    shard's last byte on the mesh path (mesh.build_shards_staged)."""
     if not patterns or any(
         len(p) == 0 or len(p) > MAX_LEN_LONG for p in patterns
     ):
@@ -377,8 +519,8 @@ def scan_count(
     assert n_seg_main % sps == 0, "bucket too small for MXU scan"
     T = n_seg_main // sps
 
-    G1, nb1, G2, nb2, lens, bitmask, kp_s = build_tables(
-        patterns, case_sensitive
+    G1, nb1, G2, nb2, lens, bitmask, kp_s, qs = build_tables(
+        patterns, case_sensitive, whole_word
     )
     assert windows == (2 if G2 is not None else 1)
     Gs = [G1] if G2 is None else [G1, G2]
@@ -394,6 +536,7 @@ def scan_count(
                 if has_limit
                 else jnp.int32(0)
             ),
+            jnp.asarray(prev_flag, jnp.int32),
         ]
     )
 
@@ -442,13 +585,13 @@ def scan_count(
                 else []
             )
         ),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
     )
 
     nwords2 = 0 if G2 is None else G2.shape[1] // 32
     kernel = _make_kernel(
         n_rows2, case_sensitive, strict, sps, want_mask, has_limit, windows,
-        kp_s, kp_l, nwords2,
+        kp_s, kp_l, nwords2, whole_word, qs,
     )
     out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
     if want_mask:

@@ -294,20 +294,25 @@ def _starts_from_sharded_mask(mask_dev, shard: int, D: int, use_swar: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patterns", "case_sensitive", "mesh", "interpret"),
+    static_argnames=(
+        "patterns", "case_sensitive", "whole_word", "mesh", "interpret"
+    ),
 )
 def _sharded_count_mxu(
-    slab, shard_len, true_len, *, patterns, case_sensitive, mesh,
-    interpret=False,
+    slab, prev_words, shard_len, true_len, *, patterns, case_sensitive,
+    whole_word, mesh, interpret=False,
 ):
     """Per-shard MXU bit-matmul count under shard_map (ops/mxu_multi) —
     the large-K analogue of _sharded_stats_swar for pure counting. Each
     shard bounds match STARTS to its owned region via the kernel's
     start_limit (the chunk-overlap contract, krep.c:2837-2846); totals
-    reduce with psum."""
+    reduce with psum. Whole-word stays exact at shard boundaries: the
+    right boundary byte reads from the forward halo (the next shard's
+    real text) and the left boundary at shard start comes from
+    prev_words (the previous shard's last-byte flag)."""
     from ..ops import mxu_multi
 
-    def per_shard(block, shard_len, true_len):
+    def per_shard(block, prev_word, shard_len, true_len):
         row = block[0]  # (S + 4096,) u8
         d = jax.lax.axis_index("data")
         base = d.astype(jnp.int32) * shard_len
@@ -316,8 +321,9 @@ def _sharded_count_mxu(
             row.reshape(-1, 4), jnp.uint32
         ).reshape(-1, 128)
         c = mxu_multi.scan_count(
-            u32, owned, owned, patterns=patterns,
-            case_sensitive=case_sensitive, interpret=interpret,
+            u32, owned, owned, prev_word[0, 0], patterns=patterns,
+            case_sensitive=case_sensitive, whole_word=whole_word,
+            interpret=interpret,
         )
         return jax.lax.psum(c, "data")[None]
 
@@ -326,11 +332,11 @@ def _sharded_count_mxu(
     f = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P("data", None), P(), P()),
+        in_specs=(P("data", None), P("data", None), P(), P()),
         out_specs=P("data"),
         check_vma=False,
     )
-    return f(slab, shard_len, true_len)
+    return f(slab, prev_words, shard_len, true_len)
 
 
 def sharded_count(
@@ -338,6 +344,7 @@ def sharded_count(
     patterns,
     *,
     case_sensitive=True,
+    whole_word=False,
     mesh: Mesh | None = None,
     interpret=False,
 ) -> int:
@@ -357,15 +364,18 @@ def sharded_count(
     # backend is a libtpu client with version skew that fails on first use
     # while the mesh lives on virtual CPU devices (MULTICHIP_r02 rc=1).
     with jax.default_device(mesh.devices.flat[0]):
-        slab_np, _, shard = build_shards_staged(np.asarray(data, np.uint8), D)
+        slab_np, prev_np, shard = build_shards_staged(
+            np.asarray(data, np.uint8), D
+        )
         slab = jax.device_put(slab_np, sharding)
+        prev = jax.device_put(prev_np, sharding)
         total = 0
         for i in range(0, len(patterns), MXU_MAX_PASS):
             g = patterns[i : i + MXU_MAX_PASS]
             out = _sharded_count_mxu(
-                slab, np.int32(shard), np.int32(len(data)),
-                patterns=g, case_sensitive=case_sensitive, mesh=mesh,
-                interpret=interpret,
+                slab, prev, np.int32(shard), np.int32(len(data)),
+                patterns=g, case_sensitive=case_sensitive,
+                whole_word=whole_word, mesh=mesh, interpret=interpret,
             )
             total += int(np.asarray(out)[0])
     return total

@@ -208,3 +208,31 @@ def test_max_count_invalid_values_warn_like_reference(tmp_path):
             str(f).encode(), b"F"
         ), mval
         assert rc == wrc, mval
+
+
+def test_w_large_pattern_set_routes_mxu_whole_word(corpus_file):
+    """-w with a K>=32 -f set: the count and print paths route through the
+    MXU whole-word kernel (boundary dot) and must stay byte-identical to
+    the reference (which covers this via Aho-Corasick + is_word_char,
+    krep.c:1389-1420)."""
+    path, text = corpus_file
+    pats = []
+    seen = set()
+    i = 7
+    while len(pats) < 40:
+        p = text[i : i + 3 + (i % 6)]
+        i += 11
+        if b"\n" in p or not p or p in seen:
+            continue
+        seen.add(p)
+        pats.append(p)
+    with tempfile.NamedTemporaryFile(suffix=".pats", delete=False) as f:
+        f.write(b"\n".join(pats) + b"\n")
+        patfile = f.name
+    try:
+        for extra in (["-c"], [], ["-o"], ["-c", "-i"]):
+            got, rc = ours(["-w", *extra, "-f", patfile, path])
+            want, wrc = oracle.run(["-w", *extra, "-f", patfile, path])
+            assert (got, rc) == (want, wrc), extra
+    finally:
+        os.unlink(patfile)

@@ -204,3 +204,125 @@ def test_mxu_union_mask_vs_naive():
     want = sorted({s for p in pats for s in naive.all_starts(TEXT, p)})
     assert got == want
     assert int(c) == naive_total(TEXT, pats)
+
+
+# ---- whole-word (-w): the boundary dot (krep.c:1389-1420's word test)
+
+
+def run_mxu_ww(text: bytes, pats, cs=True, strict=False, prev=0):
+    st = dispatch.stage(text)
+    return int(
+        mxu_multi.scan_count(
+            st.u32, st.true_len, None, prev, patterns=tuple(pats),
+            case_sensitive=cs, strict=strict, whole_word=True,
+            interpret=True,
+        )
+    )
+
+
+def naive_total_ww(text: bytes, pats, cs=True):
+    return sum(
+        len(naive.all_starts(text, p, case_sensitive=cs, whole_word=True))
+        for p in pats
+    )
+
+
+@pytest.mark.parametrize(
+    "pats",
+    [
+        (b"the", b"fox", b"and", b"qu"),
+        (b"e", b"a", b"_"),
+        (b"a" * 13, b"the", b"x"),
+        tuple(TEXT[i : i + 3 + (i % 5)] for i in range(0, 100, 5)),
+    ],
+)
+def test_mxu_whole_word_vs_naive(pats):
+    assert run_mxu_ww(TEXT, pats) == naive_total_ww(TEXT, pats)
+
+
+def test_mxu_whole_word_two_window_members():
+    pats = (b"the", TEXT[100:114], TEXT[500:520], TEXT[777 : 777 + 29])
+    assert run_mxu_ww(TEXT, pats) == naive_total_ww(TEXT, pats)
+
+
+def test_mxu_whole_word_case_insensitive():
+    pats = (b"The", b"AND", b"iS")
+    assert run_mxu_ww(TEXT, pats, cs=False) == naive_total_ww(
+        TEXT, pats, cs=False
+    )
+
+
+def test_mxu_whole_word_block_boundary_carry():
+    """a match starting exactly at a 128 KiB grid-block boundary must see
+    the previous block's last byte (carried in SMEM scratch across grid
+    steps) for its left-boundary test."""
+    blk = 131072
+    t = bytearray(b"." * (2 * blk))
+    t[blk - 1 : blk + 3] = b"xcat"      # word char before -> not a word match
+    assert run_mxu_ww(bytes(t), (b"cat",)) == 0
+    t2 = bytearray(b"." * (2 * blk))
+    t2[blk : blk + 3] = b"cat"          # '.' before -> word match
+    assert run_mxu_ww(bytes(t2), (b"cat",)) == 1
+
+
+def test_mxu_whole_word_prev_flag_and_text_edges():
+    """prev_flag models the byte before the buffer (shard left edge);
+    matches at position 0 and at text end are word-bounded by default."""
+    t = b"cat in the hat"
+    assert run_mxu_ww(t, (b"cat",), prev=0) == 1
+    assert run_mxu_ww(t, (b"cat",), prev=1) == 0
+    assert run_mxu_ww(b"the final cat", (b"cat",)) == 1
+    assert run_mxu_ww(b"the final cats", (b"cat",)) == 0
+
+
+def test_mxu_whole_word_strict_garbage_tail():
+    """strict=True zeroes word flags at/past true_len so a match ending
+    exactly at text end stays word-bounded despite a garbage tail."""
+    st = dispatch.stage(b"the cat sat" + b"Z" * 50)
+    c = mxu_multi.scan_count(
+        st.u32, np.int32(11), patterns=(b"cat", b"sat"),
+        whole_word=True, strict=True, interpret=True,
+    )
+    assert int(c) == 2
+
+
+def test_mxu_whole_word_mask_exact():
+    """the whole-word union mask is exact (boundary-pruned in-kernel),
+    byte-identical to naive whole-word starts."""
+    pats = (b"the", b"he", b"and", b"an")
+    st = dispatch.stage(TEXT)
+    c, mask = mxu_multi.scan_count(
+        st.u32, st.true_len, patterns=pats, whole_word=True,
+        want_mask=True, interpret=True,
+    )
+    mk = np.asarray(mask).view(np.uint8)[: len(TEXT)]
+    got = np.flatnonzero(mk).tolist()
+    want = sorted(
+        {
+            s
+            for p in pats
+            for s in naive.all_starts(TEXT, p, whole_word=True)
+        }
+    )
+    assert got == want
+    assert int(c) == naive_total_ww(TEXT, pats)
+
+
+def test_mxu_whole_word_matches_swar_kernel():
+    """MXU whole-word count == fused SWAR whole-word count on a corpus-
+    derived K=32 set (the routing-equivalence contract)."""
+    from krep_tpu.ops import pallas_swar
+
+    pats = tuple(TEXT[i : i + 3 + (i % 6)] for i in range(0, 32 * 7, 7))
+    st = dispatch.stage(TEXT)
+    got_mxu = int(
+        mxu_multi.scan_count(
+            st.u32, st.true_len, patterns=pats, whole_word=True,
+            interpret=True,
+        )
+    )
+    c, _, _ = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats, whole_word=True,
+        want_mask=False, want_lines=False, interpret=True,
+    )
+    assert got_mxu == int(c) == naive_total_ww(TEXT, pats)

@@ -267,6 +267,43 @@ def test_sharded_mxu_count_matches_single_device():
     assert got == want
 
 
+def test_sharded_mxu_whole_word_shard_boundaries():
+    """per-shard MXU whole-word counting: the left boundary at a shard
+    start must see the previous shard's last byte (prev_words) and the
+    right boundary must read into the forward halo — both planted at the
+    exact shard edge."""
+    import jax
+    from jax.sharding import Mesh
+
+    from krep_tpu.parallel import mesh as mesh_mod
+
+    _need_devices(8)
+
+    body = bytearray(naive.gen_english(51, 400_000))
+    shard = 400_000 // 8  # NOTE: build_shards_staged rounds S up to 64 KiB
+    S = 65536
+    # word char immediately before shard 1's first byte, 'cat' at its start
+    body[S - 1 : S + 3] = b"xcat"
+    # 'cat' ending exactly at shard 2's boundary, word char just after (in
+    # shard 2's owned region, read via shard 1's forward halo)
+    body[2 * S - 3 : 2 * S + 1] = b"cats"
+    # a clean word match straddling shard 3's boundary
+    body[3 * S - 1 : 3 * S + 4] = b" cat "
+    text = bytes(body)
+    pats = (b"cat",) + tuple(
+        text[13 * i : 13 * i + 3 + (i % 5)] for i in range(40)
+    )
+    want = sum(
+        len(naive.all_starts(text, p, whole_word=True)) for p in pats
+    )
+    m = Mesh(np.array(jax.devices()[:8]), ("data",))
+    got = mesh_mod.sharded_count(
+        np.frombuffer(text, np.uint8), pats, whole_word=True, mesh=m,
+        interpret=True,
+    )
+    assert got == want
+
+
 def test_sharded_mxu_count_two_window_long_members():
     """the per-shard MXU route with 14..29-byte members (two-window AND):
     boundary-spanning long matches must still count exactly once."""
