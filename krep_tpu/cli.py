@@ -14,26 +14,28 @@ Option scanning stops at the first positional, like the reference's
 
 from __future__ import annotations
 
-import getopt
 import os
 import sys
 
-from . import __version__
+from . import __version__, getoptlong
 from .params import SearchParams
 from .output import printer
 
 SHORT_OPTS = "ie:f:cm:oEFrt:s:vhw"
-LONG_OPTS = [
-    "color=",
-    "no-simd",
-    "fixed-strings",
-    "max-count=",
-    "gitignore",
-    "algo=",
-    "help",
-    "version",
-    "regexp=",  # alias for -e (krep.c:3481)
-]
+# the reference's long_options table, kinds included (krep.c:3475-3486);
+# parsed by getoptlong (glibc emulation: optional_argument for --color,
+# unambiguous-prefix abbreviation, glibc error text)
+LONG_OPTS = {
+    "color": getoptlong.OPTIONAL_ARG,
+    "no-simd": getoptlong.NO_ARG,
+    "fixed-strings": getoptlong.NO_ARG,
+    "max-count": getoptlong.REQUIRED_ARG,
+    "gitignore": getoptlong.NO_ARG,
+    "algo": getoptlong.REQUIRED_ARG,
+    "help": getoptlong.NO_ARG,
+    "version": getoptlong.NO_ARG,
+    "regexp": getoptlong.REQUIRED_ARG,  # alias for -e (krep.c:3481)
+}
 
 USAGE = f"""krep-tpu v{__version__}
 TPU-native byte-scan engine with krep-compatible output.
@@ -108,11 +110,9 @@ def _fgets_patterns(data: bytes, patterns: list[bytes]) -> None:
 def main(argv: list[str] | None = None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     out = out if out is not None else sys.stdout.buffer
-    # --color with no argument means always (getopt_long optional_argument)
-    argv = ["--color=always" if a == "--color" else a for a in argv]
     try:
-        opts, args = getopt.getopt(argv, SHORT_OPTS, LONG_OPTS)
-    except getopt.GetoptError as e:
+        opts, args = getoptlong.getopt_long(argv, SHORT_OPTS, LONG_OPTS)
+    except getoptlong.OptError as e:
         # the reference prints getopt's error to stderr and the usage
         # block to STDOUT, exit 2 (krep.c:3695-3698)
         sys.stderr.write(f"krep: {e}\n")
@@ -229,7 +229,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
             out.flush()
             return 0
         elif o == "--color":
-            color_mode = a if a else "always"
+            # bare --color (optarg NULL) means AUTO, not always
+            # (krep.c:3661-3663); --color= (empty string) is an error
+            color_mode = a if a is not None else "auto"
             if color_mode not in ("auto", "always", "never"):
                 # message + usage block, usage to stdout (krep.c:3668-3672)
                 sys.stderr.write(
@@ -254,7 +256,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
     # --- pattern / target resolution (krep.c:3700-3810) ---
     if not patterns:
         if not args:
-            sys.stderr.write(USAGE)
+            # message to stderr, usage block to STDOUT (krep.c:3725-3727)
+            sys.stderr.write("krep: Error: PATTERN argument missing.\n")
+            out.write(USAGE.encode())
+            out.flush()
             return 2
         patterns.append(args.pop(0).encode())
 
@@ -318,8 +323,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
     try:
         if string_mode:
             # the reference's -s is single-threaded (krep.c:2390-2392); we
-            # scan on the mesh but still let -t cap the shard count
-            result = search_string(params, haystack, threads)
+            # scan on the mesh but still let -t cap the shard count.
+            # search_string prints positions in AC emission order, unsorted
+            result = search_string(
+                params.with_(sorted_positions=False), haystack, threads
+            )
             _emit(out, result, haystack, None, params, color)
         elif recursive and target is not None:
             if not os.path.isdir(target):
@@ -372,7 +380,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
             nul = data.find(b"\0")
             if nul != -1:
                 data = data[:nul]
-            result = search_string(params, data, threads, target="-")
+            # stdin rides search_string => AC emission order, unsorted
+            result = search_string(
+                params.with_(sorted_positions=False), data, threads,
+                target="-",
+            )
             _emit(out, result, data, None, params, color)
     except PatternValidationError as e:
         sys.stderr.write(e.message + "\n")

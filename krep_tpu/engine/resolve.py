@@ -184,16 +184,23 @@ def attribute_patterns(
 
 
 def ac_order_truncate(
-    starts: np.ndarray, ends: np.ndarray, max_count: int | None
+    starts: np.ndarray, ends: np.ndarray, max_count: int | None,
+    final_sort: bool = True,
 ) -> np.ndarray:
-    """AC emission-order (-m) truncation then final (start, end) sort
-    (aho_corasick.c emission order; qsort at krep.c:3020-3023)."""
+    """AC emission-order (-m) truncation, then the final (start, end) sort
+    the reference's FILE path applies to merged chunk results (qsort at
+    krep.c:3020-3023). final_sort=False keeps AC emission order —
+    ascending (end, start), longest-first at equal ends via the
+    output-chain walk — which is what search_string (stdin and -s
+    targets) prints, as collected, with no sort (krep.c:2187+)."""
     order = np.lexsort((starts, ends))
     starts, ends = starts[order], ends[order]
     if max_count is not None:
         starts, ends = starts[:max_count], ends[:max_count]
-    order = np.lexsort((ends, starts))
-    return np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    if final_sort:
+        order = np.lexsort((ends, starts))
+        starts, ends = starts[order], ends[order]
+    return np.stack([starts, ends], axis=1).astype(np.int64)
 
 
 def line_ids(starts: np.ndarray, newline_positions: np.ndarray) -> np.ndarray:

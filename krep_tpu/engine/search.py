@@ -624,10 +624,13 @@ def search_file(params: SearchParams, path: str, threads: int | None = None) -> 
         data = sys.stdin.buffer.read()
         # reference stdin delegates to search_string whose text_len is
         # strlen(text) (krep.c:2025, 2392): data truncates at the first NUL
+        # and positions keep AC emission order (no file-path qsort)
         nul = data.find(b"\0")
         if nul != -1:
             data = data[:nul]
-        return search_string(params, data, threads, target=path)
+        return search_string(
+            params.with_(sorted_positions=False), data, threads, target=path
+        )
     from ..io import files
 
     data = files.read_bytes(path)

@@ -103,7 +103,9 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
         case_sensitive=params.case_sensitive, whole_word=params.whole_word,
         anchor="start",
     )
-    positions = resolve.ac_order_truncate(starts, ends, mc)
+    positions = resolve.ac_order_truncate(
+        starts, ends, mc, final_sort=params.sorted_positions
+    )
     return SearchResult(len(positions), positions, n)
 
 
@@ -155,7 +157,9 @@ def _dense_dfa(params: SearchParams, text) -> "SearchResult":
             lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
 
-    positions = _resolve.ac_order_truncate(starts, ends_arr, mc)
+    positions = _resolve.ac_order_truncate(
+        starts, ends_arr, mc, final_sort=params.sorted_positions
+    )
     if params.count_matches_mode:  # whole_word forced the positions path
         return SearchResult(len(positions), _EMPTY_POS, n)
     return SearchResult(len(positions), positions, n)

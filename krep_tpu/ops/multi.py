@@ -215,7 +215,9 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
         case_sensitive=params.case_sensitive, whole_word=params.whole_word,
         anchor="start",
     )
-    positions = resolve.ac_order_truncate(starts, ends, mc)
+    positions = resolve.ac_order_truncate(
+        starts, ends, mc, final_sort=params.sorted_positions
+    )
     return SearchResult(len(positions), positions, n)
 
 
@@ -294,7 +296,9 @@ def _search_multi_mixed(params: SearchParams, text, patterns) -> "SearchResult":
         nl = resolve.newline_positions_host(data)
         lines = len(np.unique(np.searchsorted(nl, starts, side="left")))
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
-    positions = resolve.ac_order_truncate(starts, ends, mc)
+    positions = resolve.ac_order_truncate(
+        starts, ends, mc, final_sort=params.sorted_positions
+    )
     if params.count_matches_mode or not params.track_positions:
         return SearchResult(len(positions), _EMPTY_POS, n)
     return SearchResult(len(positions), positions, n)
@@ -370,7 +374,9 @@ def _search_multi_sharded(
             case_sensitive=params.case_sensitive, whole_word=params.whole_word,
             anchor="start",
         )
-        positions = resolve.ac_order_truncate(starts, ends, mc)
+        positions = resolve.ac_order_truncate(
+        starts, ends, mc, final_sort=params.sorted_positions
+    )
         if params.count_matches_mode or not params.track_positions:
             return SearchResult(len(positions), _EMPTY_POS, n)
         return SearchResult(len(positions), positions, n)
@@ -430,7 +436,9 @@ def _search_multi_sharded(
         return SearchResult(
             min(lines, mc) if mc is not None else lines, _EMPTY_POS, n
         )
-    positions = resolve.ac_order_truncate(starts, ends, mc)
+    positions = resolve.ac_order_truncate(
+        starts, ends, mc, final_sort=params.sorted_positions
+    )
     if params.count_matches_mode or not params.track_positions:
         return SearchResult(len(positions), _EMPTY_POS, n)
     return SearchResult(len(positions), positions, n)
@@ -519,13 +527,12 @@ def search_multi(
     starts = np.concatenate(starts_list)
     ends = np.concatenate(ends_list)
 
-    # Truncate in AC emission order: (end asc, start asc).
-    order = np.lexsort((starts, ends))
-    starts, ends = starts[order], ends[order]
-    if max_count is not None:
-        starts, ends = starts[:max_count], ends[:max_count]
+    from ..engine import resolve
 
-    # Final presentation order: (start asc, end asc) — krep.c:420-434.
-    order = np.lexsort((ends, starts))
-    positions = np.stack([starts[order], ends[order]], axis=1).astype(np.int64)
+    # Truncate in AC emission order, then the file path's final
+    # (start, end) presentation sort — or keep emission order for
+    # stdin/-s targets (params.sorted_positions; krep.c:2187+ vs 3020-3023)
+    positions = resolve.ac_order_truncate(
+        starts, ends, max_count, final_sort=params.sorted_positions
+    )
     return SearchResult(len(positions), positions, n)

@@ -74,8 +74,12 @@ def print_only_matching(
     if len(positions) == 0:
         return
     starts = positions[:, 0]
+    # stdin/-s positions arrive in AC emission order (ascending end, NOT
+    # start — params.sorted_positions); the native passes below walk the
+    # text sequentially and require monotonic starts
+    mono = len(starts) < 2 or bool(np.all(starts[1:] >= starts[:-1]))
     fn = filename.encode() if filename is not None else None
-    if not color and len(positions) > 4096 and _native is not None:
+    if not color and len(positions) > 4096 and _native is not None and mono:
         try:
             fd = out.fileno()
         except (AttributeError, OSError):
@@ -90,7 +94,7 @@ def print_only_matching(
                 # way the buffered python path would (cli.py catches it)
                 raise BrokenPipeError(32, "write failed in -o render")
             return
-    if _native is not None:
+    if _native is not None and mono:
         # one sequential text pass (starts are reference-sorted); no
         # newline-position array, no per-match binary search — those cost
         # tens of seconds at tens of millions of matches
@@ -102,15 +106,17 @@ def print_only_matching(
     if len(positions) > 10 and last_nl >= 0:
         # Reproduce the reference's binary-search quirk (krep.c:621-653):
         # for a match beyond the LAST newline the search exits without
-        # updating its index, so such matches inherit the previous match's
-        # line index (stale), not the true final line number.
+        # updating its index, so such matches inherit the PRECEDING
+        # match's line index (stale), not the true final line number —
+        # a forward fill in processing order (emission order on stdin/-s)
         beyond = starts > last_nl
         if beyond.any():
             not_beyond = ~beyond
-            # stale line index = the last not-beyond match's own lineno
+            idx = np.where(not_beyond, np.arange(len(linenos)), -1)
+            np.maximum.accumulate(idx, out=idx)
             linenos = np.where(
                 beyond,
-                int(linenos[not_beyond][-1]) if not_beyond.any() else 1,
+                np.where(idx >= 0, linenos[np.maximum(idx, 0)], 1),
                 linenos,
             )
 
@@ -334,7 +340,13 @@ def print_matching_lines(
 
     fn = filename.encode() if filename is not None else None
     if not color and len(positions) > 4096:
-        if _print_matching_lines_vectorized(out, buf, positions, lidx, nl, fn):
+        # the bulk renderer's per-line grouping (np.unique + repeat)
+        # requires line-sorted spans; emission-ordered stdin/-s positions
+        # with cross-line matches can violate that — use the exact loop
+        lidx_mono = len(lidx) < 2 or bool(np.all(lidx[1:] >= lidx[:-1]))
+        if lidx_mono and _print_matching_lines_vectorized(
+            out, buf, positions, lidx, nl, fn
+        ):
             return
     parts = []
     acc = 0

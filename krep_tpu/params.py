@@ -83,6 +83,13 @@ class SearchParams:
     no_simd: bool = False              # --no-simd (krep.c:118)
     use_gitignore: bool = False        # --gitignore (krep.c:120)
     profile: SimdProfile = SimdProfile.AVX512
+    # Position ORDER is target-dependent in the reference: real-file
+    # searches qsort the merged chunk results by start (krep.c:3020-3023),
+    # but search_string — the stdin and -s path — prints matches exactly
+    # as the AC walk collected them, i.e. ascending (end, start), with NO
+    # final sort (krep.c:2187+). Only observable for multi-pattern literal
+    # position queries with overlapping matches.
+    sorted_positions: bool = True
 
     def __post_init__(self):
         pats = tuple(

@@ -236,3 +236,37 @@ def test_w_large_pattern_set_routes_mxu_whole_word(corpus_file):
             assert (got, rc) == (want, wrc), extra
     finally:
         os.unlink(patfile)
+
+
+def test_multi_pattern_position_order_by_target_kind(tmp_path):
+    """Position ORDER is target-dependent in the reference: file targets
+    qsort merged results by start (krep.c:3020-3023); stdin and -s ride
+    search_string, which prints matches exactly as the AC walk collected
+    them — ascending (end, start), no sort (krep.c:2187+). 'bc' inside
+    'abcd' makes the two orders observably different: emission puts the
+    shorter, earlier-ending 'bc' FIRST; start-sort puts 'abcd' first."""
+    from clirun import run_cli
+
+    text = b"zabcdz\nxx abcd yy\nbc abcd\n"
+    args = ["-o", "-e", "bc", "-e", "abcd"]
+
+    # stdin: emission order
+    got, _, rc = run_cli(args, stdin_bytes=text)
+    want, _, wrc = oracle.run_full(args, stdin=text)
+    assert (got, rc) == (want, wrc)
+    assert got.splitlines()[0] == b"1:bc"  # emission order pinned
+
+    # -s: same engine path, same order
+    got_s, _, rc_s = run_cli([*args, "-s", "zz", text.decode()])
+    want_s, _, wrc_s = oracle.run_full([*args, "-s", "zz", text.decode()])
+    assert (got_s, rc_s) == (want_s, wrc_s)
+
+    # file target: start-sorted
+    p = tmp_path / "t.txt"
+    p.write_bytes(text)
+    got_f, rc_f = ours([*args, str(p)])
+    want_f, wrc_f = oracle.run([*args, str(p)])
+    got_f = got_f.replace(str(p).encode(), b"F")
+    want_f = want_f.replace(str(p).encode(), b"F")
+    assert (got_f, rc_f) == (want_f, wrc_f)
+    assert got_f.splitlines()[0] == b"F:1:abcd"  # sorted order pinned

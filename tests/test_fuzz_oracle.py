@@ -86,6 +86,17 @@ def gen_case(rng):
         flags += ["--algo", "bm" if rng.random() < 0.5 else "kmp"]
     if rng.random() < 0.1:
         flags.append("--no-simd")
+    if (
+        "-c" in flags and "-o" not in flags
+        and "--no-simd" not in flags
+        and any(b"\n" in p for p in pats)
+    ):
+        # the reference's SIMD -c path LOSES lines when overlapping
+        # matches of a '\n'-containing pattern start on different lines
+        # (non-overlap advancement, krep.c:4835-4846; KNOWN_DIVERGENCES
+        # #9) — force the scalar selection so the oracle comparison runs
+        # on the reference's correct path
+        flags.append("--no-simd")
     return text, flags + args
 
 
@@ -144,6 +155,13 @@ def gen_degenerate_case(rng):
         flags += ["-c", "-o"]
     if rng.random() < 0.25:
         flags += ["-m", str(int(rng.integers(0, 5)))]
+    if (
+        "-c" in flags and "-o" not in flags
+        and any(b"\n" in p for p in pats)
+    ):
+        # dodge the reference's SIMD -c line-loss for '\n'-containing
+        # patterns (KNOWN_DIVERGENCES #9) — scalar selection is exact
+        flags.append("--no-simd")
 
     if target_kind == "string":
         # -s carries the first pattern; the rest go via -e (argv order)

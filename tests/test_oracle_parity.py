@@ -169,3 +169,34 @@ def test_overlapping_pattern_set():
         count_mode=True,
     )
     assert search_string(p, b"abc").count == 6
+
+
+def test_newline_pattern_count_simd_divergence():
+    """KNOWN_DIVERGENCES #9: the reference's SIMD -c path loses lines when
+    overlapping matches of a '\\n'-containing pattern start on different
+    lines (non-overlap advancement, krep.c:4835-4846). We count exactly;
+    the reference's SCALAR selections agree with us — so the pin is
+    (a) byte parity with `--no-simd`, (b) our count equals ground truth,
+    and (c) if the auto selection differs at all it only ever UNDERcounts
+    (the bug direction)."""
+    # '\nb\n' self-overlaps at distance 2: matches at 1,3,5 end lines
+    # 0,1,2 — the non-overlap skip from the match at 1 jumps past 3
+    text = b"x\nb\nb\nb\nx" + b"ab\n" * 40 + b"\nb\nb\nb\n"
+    pat = b"\nb\n"
+    starts = [
+        i for i in range(len(text) - 2) if text[i : i + 3] == pat
+    ]
+    lines = {text.count(b"\n", 0, s) for s in starts}
+    p = SearchParams(patterns=(pat,), count_mode=True)
+    got = search_string(p, text).count
+    assert got == len(lines)  # exact ground truth
+
+    out, rc = oracle.run_on_text(
+        text, ["-c", "--no-simd", "-e", pat.decode("latin1")]
+    )
+    assert rc == 0
+    assert oracle.count_from_output(out) == got  # scalar reference agrees
+
+    out_auto, _ = oracle.run_on_text(text, ["-c", "-e", pat.decode("latin1")])
+    auto = oracle.count_from_output(out_auto)
+    assert auto <= got  # SIMD (if selected on this host) only loses lines

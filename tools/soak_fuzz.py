@@ -63,12 +63,79 @@ def fail(kind: int, seed: int, case: int, args, text: bytes,
     sys.exit(1)
 
 
+_ARG_SHORTS = set("efmts")
+_LONG_ALIASES = {  # canonical -> equivalent respellings (same parse)
+    "-e": lambda v, r: (["-e" + v], ["--regexp", v], ["--regexp=" + v],
+                        ["--regex", v])[r % 4],
+    "-m": lambda v, r: (["-m" + v], ["--max-count=" + v], ["--max", v],
+                        ["-m", v])[r % 4],
+}
+
+
+def respell_args(rng, args):
+    """Respell an argv into an equivalent getopt_long spelling — attached
+    short arguments, --regexp/--max-count aliases, unambiguous long-option
+    abbreviations, short-flag bundles — so the option PARSER itself (glibc
+    emulation, krep.c:3474-3494) is fuzz surface, not just the engine.
+    Only tokens before the first positional are touched; both sides get
+    the identical respelled argv."""
+    out: list[str] = []
+    bundle: list[str] = []
+
+    def flush():
+        if bundle:
+            out.append("-" + "".join(bundle))
+            bundle.clear()
+
+    i, n = 0, len(args)
+    while i < n:
+        a = args[i]
+        if not a.startswith("-") or a in ("-", "--"):
+            break
+        if a.startswith("--"):
+            flush()
+            name, eq, val = a[2:].partition("=")
+            # every name in the reference's table is unambiguous at any
+            # prefix length >= 1 (no two share a first letter except none)
+            if rng.random() < 0.5 and len(name) > 1:
+                name = name[: int(rng.integers(1, len(name)))]
+            out.append(f"--{name}={val}" if eq else f"--{name}")
+            i += 1
+            continue
+        ch = a[1:]
+        if len(ch) == 1 and ch in _ARG_SHORTS and i + 1 < n:
+            flush()
+            val = args[i + 1]
+            alias = _LONG_ALIASES.get(a)
+            if alias is not None and val:
+                out += alias(val, int(rng.integers(0, 4)))
+            elif val and rng.random() < 0.5:
+                out.append(a + val)  # attached form
+            else:
+                out += [a, val]
+            i += 2
+            continue
+        if len(ch) == 1:
+            bundle.append(ch)
+            if rng.random() < 0.5:
+                flush()
+            i += 1
+            continue
+        flush()
+        out.append(a)
+        i += 1
+    flush()
+    return out + args[i:]
+
+
 def literal_batch(seed: int, cases: int) -> int:
     rng = np.random.default_rng(seed)
     for case in range(cases):
         text, args = fo.gen_case(rng)
         if rng.random() < 0.2:
             args = ["--color=always", *args]
+        if rng.random() < 0.3:
+            args = respell_args(rng, args)
         with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
             f.write(text)
             path = f.name
@@ -255,6 +322,8 @@ def degenerate_batch(seed: int, cases: int) -> int:
     rng = np.random.default_rng(seed)
     for case in range(cases):
         text, args, kind = fo.gen_degenerate_case(rng)
+        if rng.random() < 0.3:
+            args = respell_args(rng, args)
         path = None
         try:
             if kind == "file":
