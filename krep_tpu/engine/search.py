@@ -502,8 +502,6 @@ def _search_single_literal(
     params: SearchParams, text: bytes, sel: Selection,
     threads: int | None = None,
 ) -> SearchResult:
-    from ..ops import dispatch
-
     m = len(params.pattern)
     n = len(text)
     if m == 0 or n < m:
@@ -516,12 +514,23 @@ def _search_single_literal(
     ):
         return _memchr_short_o(params, text)
 
-    if m > LONG_PATTERN:
-        return _search_single_literal_longpat(
-            params, text, sel.policy(params.only_matching)
-        )
-
     policy = sel.policy(params.only_matching)
+
+    # host fast path: below the device break-even a native host scan wins
+    # outright (no staging transfer, no launch latency, no jax init) —
+    # the reference's small-file regime (krep.c:3402-3430). Checked BEFORE
+    # any device import so a small `krep PATTERN file` run never touches
+    # the accelerator client.
+    from ..ops import hostscan
+
+    if hostscan.route_small(n):
+        return hostscan.search_single_host(params, text, policy)
+
+    from ..ops import dispatch
+
+    if m > LONG_PATTERN:
+        return _search_single_literal_longpat(params, text, policy)
+
     max_count = params.max_count
 
     from ..parallel.mesh import safe_device_count
@@ -577,6 +586,17 @@ def _search_multi_literal(
     params: SearchParams, text: bytes, sel: Selection,
     threads: int | None = None,
 ) -> SearchResult:
+    # host fast path first (see _search_single_literal): the host cost is
+    # K native passes, so the break-even compares K*n bytes
+    patterns = tuple(p for p in params.patterns if len(p) > 0)
+    n = len(text)
+    if not patterns or n == 0:
+        return SearchResult(0, _EMPTY_POS, n)
+    from ..ops import hostscan
+
+    if hostscan.route_small(n, len(patterns)):
+        return hostscan.search_multi_host(params, text, patterns)
+
     from ..ops import multi
 
     return multi.search_multi(params, text, threads)

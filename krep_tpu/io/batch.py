@@ -129,10 +129,44 @@ def submit_batch(params: SearchParams, batch: Batch) -> PendingBatch:
     """Launch the device pass for a batch without syncing — staging,
     compute, and the tiny count readbacks all overlap the host's walk of
     the next batch (the async replacement for the reference's per-file
-    launches, krep.c:3402-3430)."""
-    from ..ops import dispatch
+    launches, krep.c:3402-3430). Sub-break-even batches skip the device
+    entirely: one native host pass over the concatenated buffer (the
+    reference's small-file regime, where launch overhead can never
+    amortize — see ops/hostscan.py). The host branch must not import
+    ops.dispatch: pulling in jax costs ~1.7s of interpreter time, which
+    IS the small-file regime's budget."""
+    from ..ops import hostscan
 
     data = batch.buffer()
+
+    if hostscan.route_small(batch.size):
+        count_only = params.count_lines_mode or (
+            params.count_matches_mode and _count_policy_ok(params)
+        )
+        if count_only:
+            # per-file host counts in one native call: file edges are text
+            # edges (matching per-file launches), so -c dedup and -w
+            # boundaries are exact per file with no boundary fix-ups
+            bounds = np.array(
+                [(e.offset, e.offset + e.size) for e in batch.entries],
+                dtype=np.int64,
+            )
+            counts = hostscan.batch_counts(
+                data, bounds, params.pattern, params.case_sensitive,
+                params.whole_word, params.count_lines_mode,
+            )
+            return PendingBatch(batch, data, "counts", counts)
+        # position modes: one whole-buffer all-starts pass (separators are
+        # '\n'+NULs, so no match crosses a file boundary and whole-word
+        # sees non-word bytes at every file edge — same contract as the
+        # device mask pass), split per file in drain_batch
+        starts = hostscan.scan_starts(
+            data, params.pattern, params.case_sensitive, params.whole_word
+        )
+        return PendingBatch(batch, data, "starts", starts)
+
+    from ..ops import dispatch
+
     staged = dispatch.stage(data)
 
     count_only = params.count_lines_mode or (
@@ -183,7 +217,6 @@ def drain_batch(params: SearchParams, pending: PendingBatch):
     from ..engine import resolve
     from ..engine.search import SearchResult, _EMPTY_POS
     from ..engine.select import select_algorithm
-    from ..ops import dispatch
 
     batch, data = pending.batch, pending.data
     mc = params.max_count
@@ -196,8 +229,13 @@ def drain_batch(params: SearchParams, pending: PendingBatch):
             yield e.path, fdata, SearchResult(int(c), _EMPTY_POS, e.size)
         return
 
-    staged, mask = pending.payload
-    starts = dispatch.starts_from_device_mask(mask, len(data))
+    if pending.kind == "starts":  # host fast path: starts already on host
+        starts = pending.payload
+    else:
+        from ..ops import dispatch
+
+        staged, mask = pending.payload
+        starts = dispatch.starts_from_device_mask(mask, len(data))
 
     sel = select_algorithm(params)
     policy = sel.policy(params.only_matching)

@@ -440,6 +440,312 @@ int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
 
 void krep_free(void *p) { free(p); }
 
+/* ---- host literal scan (the small-batch fast path) ----------------------
+ *
+ * Below a measured break-even byte count the device can never win: staging
+ * + launch latency alone exceeds a host scan of the whole input (through
+ * the axon tunnel the gap is ~100x). The reference's small-file cost is one
+ * open+read+scan with no launch overhead (krep.c:3402-3430 feeding the
+ * kernel selection at krep.c:1771-1870); this is the equivalent host
+ * kernel: ALL-advance candidate generation (u64-SWAR first-byte detect +
+ * verify), whole-word filter, -c line dedup with skip-to-next-line
+ * (krep.c:1331-1351). Advance POLICIES (non-overlap etc.) are applied by
+ * the Python resolution stage on the returned all-starts, exactly like the
+ * device mask path — one shared postlude, not ten copies (SURVEY.md §3.4).
+ */
+
+/* Full verify (bytes 1..m-1 + whole-word) at a first-byte candidate. */
+static inline int krep__verify(const uint8_t *text, int64_t n, int64_t pos,
+                               const uint8_t *fp, int64_t m,
+                               int case_insensitive, int whole_word)
+{
+    if (m > 1) {
+        if (!case_insensitive) {
+            /* last-byte filter then memcmp, the BMH verify order
+             * (krep.c:1300-1318) */
+            if (text[pos + m - 1] != fp[m - 1] ||
+                (m > 2 &&
+                 memcmp(text + pos + 1, fp + 1, (size_t)(m - 2)) != 0))
+                return 0;
+        } else {
+            for (int64_t j = 1; j < m; ++j) {
+                uint8_t c = text[pos + j];
+                if (c >= 'A' && c <= 'Z')
+                    c = (uint8_t)(c + 32);
+                if (c != fp[j])
+                    return 0;
+            }
+        }
+    }
+    if (whole_word) {
+        int before = (pos == 0) || !is_word_c(text[pos - 1]);
+        int after = (pos + m >= n) || !is_word_c(text[pos + m]);
+        return before && after;
+    }
+    return 1;
+}
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
+/* Returns: matched-line count when count_lines_mode, else the ALL-overlap
+ * match count. track_positions: *out_pos gets a malloc'd array of match
+ * start offsets (krep_free releases). max_count >= 0 caps COUNTING modes
+ * only (exact: truncation takes matches in text order); it is ignored when
+ * track_positions is set (the caller caps after applying its advance
+ * policy). Returns -1 on allocation failure. */
+int64_t krep_literal_scan(const uint8_t *text, int64_t n,
+                          const uint8_t *pat, int64_t m,
+                          int case_insensitive, int whole_word,
+                          int count_lines_mode, int track_positions,
+                          int64_t max_count, int64_t **out_pos)
+{
+    if (out_pos)
+        *out_pos = NULL;
+    if (m <= 0 || n < m)
+        return 0;
+    uint8_t fp_stack[256];
+    uint8_t *fp = fp_stack;
+    if (m > (int64_t)sizeof fp_stack) {
+        fp = malloc((size_t)m);
+        if (!fp)
+            return -1;
+    }
+    for (int64_t j = 0; j < m; ++j) {
+        uint8_t c = pat[j];
+        if (case_insensitive && c >= 'A' && c <= 'Z')
+            c = (uint8_t)(c + 32);
+        fp[j] = c;
+    }
+    uint8_t p0 = fp[0];
+    uint8_t p0u = (p0 >= 'a' && p0 <= 'z') ? (uint8_t)(p0 - 32) : p0;
+    int two = case_insensitive && p0u != p0;
+    /* two-byte anchor: AND the first-byte flags with the SECOND byte's
+     * flags from an offset-by-1 load — candidate density multiplies
+     * (english 'th' ~0.6% vs 't' ~8%), so the loop stays in the 8-byte
+     * block test instead of verify exits (measured 0.77 -> ~2 GB/s on
+     * 'the'). Exact: the pair test is a prefix of verification. */
+    uint8_t p1 = m >= 2 ? fp[1] : 0;
+    uint8_t p1u = (p1 >= 'a' && p1 <= 'z') ? (uint8_t)(p1 - 32) : p1;
+    int two1 = case_insensitive && p1u != p1;
+
+    int64_t cap = 0, cnt = 0;
+    int64_t *buf = NULL;
+    if (track_positions) {
+        cap = 4096;
+        buf = malloc((size_t)cap * sizeof *buf);
+        if (!buf) {
+            if (fp != fp_stack)
+                free(fp);
+            return -1;
+        }
+        max_count = -1; /* caller caps post-policy */
+    }
+    int64_t limit = max_count >= 0 ? max_count : INT64_MAX;
+
+    int64_t pos = 0;
+    int64_t last_start = n - m; /* inclusive */
+
+#ifdef __AVX2__
+    /* 32-byte vector candidate loop: exact per-byte equality bitmaps for
+     * the first TWO pattern bytes (offset-by-1 load), ANDed — english
+     * pair densities make the loop mostly block tests. The same
+     * first+adjacent-byte broadcast-compare idea as the reference's AVX2
+     * kernel (krep.c:4907-4976), recast for ALL-advance semantics:
+     * every candidate bit is verified, policies apply downstream. */
+    if (n >= 64) {
+        const __m256i B0 = _mm256_set1_epi8((char)p0);
+        const __m256i B0u = _mm256_set1_epi8((char)p0u);
+        const __m256i A0 = _mm256_set1_epi8((char)p1);
+        const __m256i A0u = _mm256_set1_epi8((char)p1u);
+        int pair = m >= 2;
+        while (pos + 32 + pair <= n && cnt < limit) {
+            __m256i w = _mm256_loadu_si256((const __m256i *)(text + pos));
+            uint32_t c = (uint32_t)_mm256_movemask_epi8(
+                _mm256_cmpeq_epi8(w, B0));
+            if (two)
+                c |= (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(w, B0u));
+            if (c && pair) {
+                __m256i v =
+                    _mm256_loadu_si256((const __m256i *)(text + pos + 1));
+                uint32_t c2 = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, A0));
+                if (two1)
+                    c2 |= (uint32_t)_mm256_movemask_epi8(
+                        _mm256_cmpeq_epi8(v, A0u));
+                c &= c2;
+            }
+            if (!c) {
+                pos += 32;
+                continue;
+            }
+            int64_t base = pos;
+            int jumped = 0;
+            while (c && cnt < limit) {
+                int64_t cand = base + (int64_t)__builtin_ctz(c);
+                c &= c - 1;
+                if (cand > last_start)
+                    break;
+                if (!krep__verify(text, n, cand, fp, m, case_insensitive,
+                                  whole_word))
+                    continue;
+                if (count_lines_mode) {
+                    ++cnt;
+                    const uint8_t *nl =
+                        memchr(text + cand, '\n', (size_t)(n - cand));
+                    if (!nl) {
+                        pos = n;
+                        jumped = 1;
+                        break;
+                    }
+                    pos = (int64_t)(nl - text) + 1;
+                    if (pos > base + 32) {
+                        jumped = 1; /* skipped past this block */
+                        break;
+                    }
+                    /* next line starts inside this block: drop candidate
+                     * bits before it and keep going */
+                    if (pos > base)
+                        c &= ~((pos - base >= 32)
+                                   ? 0xFFFFFFFFu
+                                   : ((1u << (pos - base)) - 1u));
+                    continue;
+                }
+                ++cnt;
+                if (track_positions) {
+                    if (cnt > cap) {
+                        cap *= 2;
+                        int64_t *nb =
+                            realloc(buf, (size_t)cap * sizeof *nb);
+                        if (!nb) {
+                            free(buf);
+                            if (fp != fp_stack)
+                                free(fp);
+                            return -1;
+                        }
+                        buf = nb;
+                    }
+                    buf[cnt - 1] = cand;
+                }
+            }
+            if (!jumped)
+                pos = base + 32;
+        }
+    }
+#endif
+
+    const uint64_t ONES = 0x0101010101010101ULL;
+    const uint64_t HIGH = 0x8080808080808080ULL;
+    const uint64_t b0 = ONES * p0, b1 = ONES * p0u;
+    const uint64_t a0 = ONES * p1, a1 = ONES * p1u;
+    while (pos <= last_start && cnt < limit) {
+        /* candidate detection (same machinery as
+         * krep_memchr_short_o_scan): 8-byte SWAR hop to the next
+         * candidate, memchr for the tail */
+        if (pos + 8 <= n) {
+            uint64_t w;
+            memcpy(&w, text + pos, 8);
+            uint64_t x = w ^ b0;
+            uint64_t c = (x - ONES) & ~x & HIGH;
+            if (two) {
+                uint64_t y = w ^ b1;
+                c |= (y - ONES) & ~y & HIGH;
+            }
+            if (c && m >= 2 && pos + 9 <= n) {
+                uint64_t v;
+                memcpy(&v, text + pos + 1, 8);
+                uint64_t x2 = v ^ a0;
+                uint64_t c2 = (x2 - ONES) & ~x2 & HIGH;
+                if (two1) {
+                    uint64_t y2 = v ^ a1;
+                    c2 |= (y2 - ONES) & ~y2 & HIGH;
+                }
+                c &= c2;
+            }
+            if (!c) {
+                pos += 8;
+                continue;
+            }
+            pos += __builtin_ctzll(c) >> 3;
+            if (pos > last_start)
+                break;
+        } else {
+            size_t rem = (size_t)(last_start - pos + 1);
+            const uint8_t *h;
+            if (!two) {
+                h = memchr(text + pos, p0, rem);
+            } else { /* earliest of both cases (krep.c:3925-3933) */
+                const uint8_t *h1 = memchr(text + pos, p0, rem);
+                const uint8_t *h2 = memchr(text + pos, p0u, rem);
+                h = (h1 && h2) ? (h1 < h2 ? h1 : h2) : (h1 ? h1 : h2);
+            }
+            if (!h)
+                break;
+            pos = h - text;
+        }
+        int ok =
+            krep__verify(text, n, pos, fp, m, case_insensitive, whole_word);
+        if (ok) {
+            if (count_lines_mode) {
+                /* count the line containing the match START, then skip to
+                 * the next line — exact dedup in one forward pass
+                 * (krep.c:1331-1351). A '\n' AT pos terminates the line
+                 * containing pos (find_line_end scans from pos). */
+                ++cnt;
+                const uint8_t *nl =
+                    memchr(text + pos, '\n', (size_t)(n - pos));
+                if (!nl)
+                    break;
+                pos = (int64_t)(nl - text) + 1;
+                continue;
+            }
+            ++cnt;
+            if (track_positions) {
+                if (cnt > cap) {
+                    cap *= 2;
+                    int64_t *nb = realloc(buf, (size_t)cap * sizeof *nb);
+                    if (!nb) {
+                        free(buf);
+                        if (fp != fp_stack)
+                            free(fp);
+                        return -1;
+                    }
+                    buf = nb;
+                }
+                buf[cnt - 1] = pos;
+            }
+        }
+        pos += 1; /* ALL advance: policies apply downstream */
+    }
+    if (fp != fp_stack)
+        free(fp);
+    if (out_pos)
+        *out_pos = buf;
+    else
+        free(buf);
+    return cnt;
+}
+
+/* Per-file counts over a concatenated batch buffer in ONE native call —
+ * the host replacement for the batched device pass (io/batch.py) below
+ * break-even. bounds: (start, end) byte offsets per file; each file scans
+ * independently (its edges are text edges, matching the per-file launches
+ * at krep.c:3402-3430). out[i] = match count (or matched-line count when
+ * count_lines_mode) of file i. */
+void krep_batch_literal_counts(const uint8_t *buf, const int64_t *bounds,
+                               int64_t nfiles, const uint8_t *pat, int64_t m,
+                               int case_insensitive, int whole_word,
+                               int count_lines_mode, int64_t *out)
+{
+    for (int64_t i = 0; i < nfiles; ++i) {
+        int64_t s = bounds[2 * i], e = bounds[2 * i + 1];
+        out[i] = krep_literal_scan(buf + s, e - s, pat, m, case_insensitive,
+                                   whole_word, count_lines_mode, 0, -1, NULL);
+    }
+}
+
 /* Count of distinct line ids among sorted match starts, given sorted
  * newline positions: the -c dedup (krep.c:1331-1351) over sparse matches.
  * Used by host-only paths (regex/large-multi); the device kernel computes

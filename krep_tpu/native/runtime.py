@@ -116,6 +116,31 @@ _lib.krep_regex_search_ranges.argtypes = [
 _lib.krep_free.restype = None
 _lib.krep_free.argtypes = [ctypes.c_void_p]
 
+_lib.krep_literal_scan.restype = ctypes.c_int64
+_lib.krep_literal_scan.argtypes = [
+    _u8p,                      # text
+    ctypes.c_int64,            # n
+    ctypes.c_char_p,           # pattern
+    ctypes.c_int64,            # m
+    ctypes.c_int,              # case_insensitive
+    ctypes.c_int,              # whole_word
+    ctypes.c_int,              # count_lines_mode
+    ctypes.c_int,              # track_positions
+    ctypes.c_int64,            # max_count (<0 = unlimited)
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # out positions
+]
+_lib.krep_batch_literal_counts.restype = None
+_lib.krep_batch_literal_counts.argtypes = [
+    _u8p,                      # batch buffer
+    _i64p,                     # (start, end) bounds, 2*nfiles
+    ctypes.c_int64,            # nfiles
+    ctypes.c_char_p,           # pattern
+    ctypes.c_int64,            # m
+    ctypes.c_int,              # case_insensitive
+    ctypes.c_int,              # whole_word
+    ctypes.c_int,              # count_lines_mode
+    _i64p,                     # out counts
+]
 _lib.krep_memchr_short_o_scan.restype = ctypes.c_int64
 _lib.krep_memchr_short_o_scan.argtypes = [
     _u8p,                      # text
@@ -127,6 +152,77 @@ _lib.krep_memchr_short_o_scan.argtypes = [
     ctypes.c_int64,            # max_count (<0 = unlimited)
     ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # out positions
 ]
+
+
+def literal_scan(
+    text: np.ndarray,
+    pattern: bytes,
+    case_insensitive: bool,
+    whole_word: bool,
+    count_lines: bool = False,
+    track_positions: bool = False,
+    max_count: int | None = None,
+) -> tuple[int, np.ndarray | None]:
+    """One-pass native ALL-overlap literal scan (the host fast path below
+    the device break-even — see ops/hostscan.py). Returns (count, starts):
+    count is the matched-line count when count_lines, else the ALL match
+    count; starts is the int64 all-starts array when track_positions, else
+    None. max_count caps counting modes only (ignored when tracking)."""
+    out = ctypes.POINTER(ctypes.c_int64)()
+    text = np.ascontiguousarray(text, np.uint8)
+    cnt = _lib.krep_literal_scan(
+        text,
+        text.shape[0],
+        pattern,
+        len(pattern),
+        int(case_insensitive),
+        int(whole_word),
+        int(count_lines),
+        int(track_positions),
+        -1 if max_count is None else max_count,
+        ctypes.byref(out),
+    )
+    try:
+        if cnt < 0:
+            raise MemoryError("krep_literal_scan: allocation failed")
+        if not track_positions:
+            return int(cnt), None
+        if cnt and out:
+            flat = np.ctypeslib.as_array(out, shape=(int(cnt),))
+            return int(cnt), np.array(flat, dtype=np.int64)
+        return int(cnt), np.zeros(0, np.int64)
+    finally:
+        if out:
+            _lib.krep_free(out)
+
+
+def batch_literal_counts(
+    buf: np.ndarray,
+    bounds: np.ndarray,
+    pattern: bytes,
+    case_insensitive: bool,
+    whole_word: bool,
+    count_lines: bool,
+) -> np.ndarray:
+    """Per-file counts over a concatenated batch buffer in one native call.
+    bounds: (nfiles, 2) int64 (start, end) offsets; each file scans with
+    text-edge semantics (the per-file launches at krep.c:3402-3430)."""
+    buf = np.ascontiguousarray(buf, np.uint8)
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    nfiles = bounds.shape[0]
+    out = np.empty(nfiles, np.int64)
+    _lib.krep_batch_literal_counts(
+        buf,
+        bounds.reshape(-1),
+        nfiles,
+        pattern,
+        len(pattern),
+        int(case_insensitive),
+        int(whole_word),
+        int(count_lines),
+        out,
+    )
+    return out
 
 
 def memchr_short_o_scan(

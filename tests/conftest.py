@@ -13,6 +13,13 @@ import os
 # plain engine (engine/regex_engine._strict).
 os.environ.setdefault("KREP_TPU_STRICT", "1")
 
+# Host-route break-even OFF by default in the suite: production routes
+# sub-break-even inputs to the native host scan (ops/hostscan.py), which
+# would otherwise swallow every small-text test and erase device-path
+# coverage. test_hostscan.py re-runs the parity corners with the route
+# forced ON (monkeypatch KREP_TPU_HOST_BREAKEVEN).
+os.environ.setdefault("KREP_TPU_HOST_BREAKEVEN", "0")
+
 if os.environ.get("KREP_TPU_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")
