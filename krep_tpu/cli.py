@@ -392,7 +392,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
     except NotImplementedError as e:
         return _err(str(e))
     except BrokenPipeError:
-        return 0
+        # downstream closed (e.g. `| head`). The reference dies by SIGPIPE
+        # and the shell sees 128+13; returning 141 is indistinguishable in
+        # $? and keeps the daemon path (daemon.py) identical.
+        return 141
     except Exception as e:
         from .engine.regex_engine import RegexError
 

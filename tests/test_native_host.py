@@ -144,7 +144,8 @@ def test_render_only_matching_fd_huge_match(tmp_path):
 
 def test_render_only_matching_closed_pipe_raises():
     # the C pass reports a failed write() as -1; the printer must surface
-    # it as BrokenPipeError so cli.main exits 0 like the buffered path
+    # it as BrokenPipeError so cli.main exits 141 like the buffered path
+    # (SIGPIPE-death parity with the reference binary)
     import os
 
     import pytest
