@@ -158,6 +158,9 @@ def parity_fields(our_count, args, timeout_s=900):
     }
 
 
+_RECORDS = []  # every emit() of the run, for the per-round artifact
+
+
 def emit(metric, gbps, extra=None):
     rec = {
         "metric": metric,
@@ -168,6 +171,40 @@ def emit(metric, gbps, extra=None):
     if extra:
         rec.update(extra)
     print(json.dumps(rec))
+    _RECORDS.append(rec)
+
+
+def _round_number() -> int:
+    """Current build round, from the driver's PROGRESS.jsonl (0 if absent)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PROGRESS.jsonl")
+        with open(path) as f:
+            last = f.readlines()[-1]
+        return int(json.loads(last)["round"])
+    except Exception:
+        return 0
+
+
+def write_bench_all():
+    """One auditable artifact per round: BENCH_ALL_r{N}.json holds every
+    config's record (value, reps, parity fields) from this --all run —
+    the analogue of the reference's methodology-stamped benchmark table
+    (README.md:157-176)."""
+    import jax
+
+    rec = {
+        "round": _round_number(),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "platform": jax.default_backend(),
+        "corpus_bytes": CORPUS_BYTES,
+        "configs": _RECORDS,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_ALL_r{rec['round']:02d}.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({"bench_all": path, "n_configs": len(_RECORDS)}))
 
 
 def config1(staged, n, data_path):
@@ -415,6 +452,35 @@ def config3(staged, n, data_path):
         "(config 3w, MXU boundary-dot route)",
         gbps3w, extra3w,
     )
+
+    # config 3L: the same mixed-length K=64 set in LINE-count mode (-c
+    # without -o) — the flagship grep mode at scale. Routes the MXU union
+    # mask chained into the bit-packed line kernel (lines_from_mask):
+    # scalar-only readback, no K-linear VPU pass, no full-mask D2H
+    # (VERDICT r4 item 2; the reference's AC counts lines in-stream,
+    # aho_corasick.c:390-403).
+    def run3L(j):
+        # tail_zero holds (staged_z's last 16 bytes are zero, j < 17);
+        # production route = MXU union mask chained into the line kernel
+        return multi_mod.fused_lines_device(
+            staged_z.with_len(n - j, tail_zero=True), pats_mixed, True, False
+        )
+
+    gbps3L, reps3L = chained_gbps(run3L, n)
+    c3L = int(multi_mod.fused_lines_device(staged, pats_mixed, True, False))
+    with tempfile.NamedTemporaryFile(suffix=".pats", delete=False) as pf:
+        pf.write(b"\n".join(pats_mixed))
+        patpath = pf.name
+    try:
+        extra3L = parity_fields(c3L, ["-c", "-f", patpath, data_path])
+    finally:
+        os.unlink(patpath)
+    extra3L["reps"] = reps3L
+    emit(
+        "64-literal mixed-length multi-pattern LINE count "
+        "(config 3L, MXU mask chained into the line kernel)",
+        gbps3L, extra3L,
+    )
     del staged_z
 
 
@@ -571,13 +637,43 @@ def config5():
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(tree) for f in fs
     )
+    # calibrate (and cache) the host-route break-even for this machine —
+    # the routing config5's wall time depends on (ops/hostscan.py)
+    from krep_tpu.ops import hostscan
+
+    try:
+        cal = hostscan.calibrate()
+    except Exception as e:  # device probe failure: default threshold holds
+        cal = {"error": str(e)}
+
     cli.main(["-r", "--gitignore", "-c", "the", tree], out=io.BytesIO())  # warm
     out = io.BytesIO()
     t0 = time.perf_counter()
     cli.main(["-r", "--gitignore", "-c", "the", tree], out=out)
     dt = time.perf_counter() - t0
+    extra = {"files": out.getvalue().count(b"\n"), "seconds": round(dt, 3),
+             "host_breakeven": cal}
+    bin_ = _oracle_bin()
+    if bin_:
+        import subprocess
+
+        r = subprocess.run(
+            [bin_, "-r", "--gitignore", "-c", "the", tree],
+            capture_output=True, timeout=600,
+        )
+        t1 = time.perf_counter()
+        r = subprocess.run(
+            [bin_, "-r", "--gitignore", "-c", "the", tree],
+            capture_output=True, timeout=600,
+        )
+        ref_dt = time.perf_counter() - t1
+        extra["count_parity_vs_reference"] = sorted(
+            out.getvalue().splitlines()
+        ) == sorted(r.stdout.splitlines())
+        extra["reference_seconds"] = round(ref_dt, 4)
+        extra["vs_reference_walltime"] = round(ref_dt / dt, 3)
     emit("-r --gitignore source-tree scan (config 5, end-to-end warm)",
-         total / dt / 1e9, {"files": out.getvalue().count(b"\n"), "seconds": round(dt, 3)})
+         total / dt / 1e9, extra)
 
 
 def config6(staged, n, data_path):
@@ -703,6 +799,7 @@ def main():
         config4(n, path)
         config5()
         config6(staged, n, path)
+        write_bench_all()
 
 
 if __name__ == "__main__":

@@ -58,9 +58,21 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
         )
         return SearchResult(min(total, mc) if mc is not None else total, _EMPTY_POS, n)
 
-    mask, mask_exact = multi_mod.fused_union_mask_device(
+    if params.count_lines_mode:
+        # union mask chained into the bit-packed line kernel on device —
+        # -c at any K returns one scalar, no full-mask D2H readback (the
+        # reference's AC counts lines in-stream, aho_corasick.c:390-403)
+        lines = int(
+            multi_mod.fused_lines_device(
+                staged, patterns, params.case_sensitive, params.whole_word
+            )
+        )
+        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
+
+    mask, _mask_exact = multi_mod.fused_union_mask_device(
         staged, patterns, params.case_sensitive, params.whole_word
     )
+
     union = np.asarray(mask).view(np.uint8)[:n]
     union_starts = np.flatnonzero(union).astype(np.int64)
     data = (
@@ -68,33 +80,6 @@ def _grouped_swar(params: SearchParams, text) -> "SearchResult":
         if isinstance(text, (bytes, bytearray))
         else np.asarray(text)
     )
-
-    if params.count_lines_mode:
-        from ..engine.resolve import newline_positions_host
-
-        if not mask_exact:
-            # the MXU union mask is a SUPERSET under whole-word (no
-            # in-kernel boundary pruning) — verify boundaries host-side
-            # before line attribution (the SWAR mask pruned in-kernel)
-            from ..engine import resolve as _resolve
-
-            vstarts, _ = _resolve.attribute_patterns(
-                data, union_starts, patterns,
-                case_sensitive=params.case_sensitive, whole_word=True,
-                anchor="start",
-            )
-            union_starts = np.unique(np.asarray(vstarts, np.int64))
-        nl = newline_positions_host(data)
-        try:
-            from ..native import runtime as _native
-
-            lines = _native.distinct_lines(
-                np.ascontiguousarray(union_starts, np.int64),
-                np.ascontiguousarray(nl, np.int64),
-            )
-        except Exception:
-            lines = len(np.unique(np.searchsorted(nl, union_starts, side="left")))
-        return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
 
     from ..engine import resolve
 

@@ -161,9 +161,12 @@ class StagedText:
                 self._u32 = _put(view)
         return self._u32
 
-    def with_len(self, n: int) -> "StagedText":
+    def with_len(self, n: int, tail_zero: bool = False) -> "StagedText":
         """Same device buffers (staged once, shared), different effective
-        length — used by benchmarking to defeat result caching."""
+        length — used by benchmarking to defeat result caching. tail_zero:
+        the caller asserts bytes at and beyond n are zero in the staged
+        buffer (bench stages a copy whose final bytes are zeroed so
+        chained with_len(n-j) lengths genuinely satisfy the contract)."""
         other = StagedText.__new__(StagedText)
         other._np = self._np
         other.n = n
@@ -171,7 +174,7 @@ class StagedText:
         other._u8 = None
         other._u32 = None
         other._src = self
-        other.tail_zero = False
+        other.tail_zero = tail_zero
         return other
 
 

@@ -20,6 +20,7 @@ ops/dfa.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -171,6 +172,41 @@ def fused_union_mask_device(staged, patterns, case_sensitive, whole_word):
     return union, True
 
 
+def fused_lines_device(staged, patterns, case_sensitive, whole_word):
+    """Matched-line count of the K-pattern union, entirely on device —
+    multi-pattern -c with scalar-only readback at any K (the reference's
+    AC counts lines in-stream, aho_corasick.c:390-403 + krep.c:1331-1351).
+    Route: the union mask (MXU bit-matmul from K=32 up, fused SWAR below)
+    CHAINS into the bit-packed line kernel (pallas_swar.lines_from_mask).
+    Measured on v5e at K=64 mixed 4-20B, 128 MiB: chained 9.18 GB/s vs
+    8.17 for in-kernel accounting (mxu_multi want_lines=True — kept,
+    tested, opt-in via KREP_TPU_MXU_LINES=inkernel): the MXU kernel is
+    VPU-D-stage bound, so in-kernel accounting adds to its critical path
+    while the chained second pass costs only ~1/200 per byte
+    (BENCH_NOTES.md round 5). Returns a traced i32."""
+    from . import mxu_multi, pallas_swar
+
+    if (
+        os.environ.get("KREP_TPU_MXU_LINES") == "inkernel"
+        and _mxu_eligible(patterns, whole_word)
+        and len(patterns) <= MXU_MAX_PASS
+        and getattr(staged, "tail_zero", False)
+    ):
+        _, lines = mxu_multi.scan_count(
+            staged.u32, staged.true_len, patterns=tuple(patterns),
+            case_sensitive=case_sensitive, whole_word=whole_word,
+            want_lines=True,
+        )
+        return lines
+    mask, _ = fused_union_mask_device(
+        staged, patterns, case_sensitive, whole_word
+    )
+    return pallas_swar.lines_from_mask(
+        staged.u32, mask, staged.true_len,
+        nl_start_matches=any(p[0:1] == b"\n" for p in patterns),
+    )
+
+
 def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     """Fused K-pattern SWAR device pass + host attribution."""
     from ..engine.search import SearchResult, _EMPTY_POS
@@ -181,12 +217,24 @@ def _search_multi_swar(params: SearchParams, text, patterns) -> "SearchResult":
     mc = params.max_count
 
     if params.count_lines_mode:
-        _, lines, _ = pallas_swar.scan_multi(
-            staged.u32, staged.true_len, patterns=patterns,
-            case_sensitive=params.case_sensitive,
-            whole_word=params.whole_word, want_mask=False, want_lines=True,
-        )
-        lines = int(lines)
+        if _mxu_eligible(patterns, params.whole_word):
+            # MXU union mask chained into the bit-packed line kernel —
+            # multi-pattern -c at MXU rate with scalar-only readback (the
+            # reference's AC counts lines in-stream at any K,
+            # aho_corasick.c:390-403)
+            lines = int(
+                fused_lines_device(
+                    staged, patterns, params.case_sensitive,
+                    params.whole_word,
+                )
+            )
+        else:
+            _, lines, _ = pallas_swar.scan_multi(
+                staged.u32, staged.true_len, patterns=patterns,
+                case_sensitive=params.case_sensitive,
+                whole_word=params.whole_word, want_mask=False, want_lines=True,
+            )
+            lines = int(lines)
         return SearchResult(min(lines, mc) if mc is not None else lines, _EMPTY_POS, n)
 
     need_positions = params.track_positions and not params.count_matches_mode

@@ -202,7 +202,8 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                  seg_per_step: int = SEG_PER_STEP, want_mask: bool = False,
                  has_limit: bool = False, windows: int = 1,
                  kp_s: int = 0, kp_l: int = 0, nwords2: int = 4,
-                 whole_word: bool = False, qs: tuple = ()):
+                 whole_word: bool = False, qs: tuple = (),
+                 want_lines: bool = False, nl_start: bool = False):
     SPS = seg_per_step
     def kernel(*refs):
         tl_ref = refs[0]
@@ -223,6 +224,9 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         @pl.when(i == 0)
         def _():
             scratch[0] = 0
+            if want_lines:
+                scratch[2] = 0   # matched-line count
+                scratch[3] = 0   # carry: open line already has a match
 
         true_len = tl_ref[0]
         # the 8-row halo block starts exactly at the segment following this
@@ -237,8 +241,9 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         lens = len_ref[:]
         bitmask = bm_ref[:]
 
-        # mask output stays per-segment (its packed rows are segment-major)
-        gseg = 1 if want_mask else GROUP_SEGS
+        # mask output stays per-segment (its packed rows are segment-major);
+        # want_lines consumes the same per-segment union rows in-kernel
+        gseg = 1 if (want_mask or want_lines) else GROUP_SEGS
         while SPS % gseg:
             gseg //= 2
         gw = gseg * SEG_WORDS
@@ -419,10 +424,14 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                     hits = hits & (start < true_len - lens + 1)
                 if has_limit:
                     hits = hits & (start < start_limit)
-            dcount = dcount + jnp.sum(hits.astype(jnp.int32))
-            if want_mask:
+            if want_mask or want_lines:
                 # union mask, v1 packed layout: byte p of word w = 1 iff
-                # some pattern starts at byte 4w+p
+                # some pattern starts at byte 4w+p. The match count rides
+                # the same per-phase reduces (sum over lanes of the
+                # per-phase pattern-hit sums == total hits), so the mask/
+                # lines modes skip the separate full-matrix popcount the
+                # count-only path pays — one fewer VPU sweep of the
+                # (n_rows2, gw) hits block per segment.
                 mrow = jnp.zeros((1, SEG_WORDS), jnp.uint32)
                 hi = hits.astype(jnp.int32)
                 for ph in range(4):
@@ -430,10 +439,40 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                         hi[ph * Kp : (ph + 1) * Kp], axis=0, keepdims=True
                     )
                     mrow = mrow | ((anyp > 0).astype(jnp.uint32) << _U(8 * ph))
+                    dcount = dcount + jnp.sum(anyp)
                 mrows.append(mrow)
+            else:
+                dcount = dcount + jnp.sum(hits.astype(jnp.int32))
 
         if want_mask:
             mask_ref[:] = jnp.concatenate(mrows, axis=0)
+        if want_lines:
+            # in-kernel matched-line accounting over this block's union
+            # mask — multi-pattern -c without a mask write + chained
+            # re-read (the reference's AC counts lines in-stream,
+            # aho_corasick.c:390-403). The (SPS, 1024) block reshapes
+            # row-major to the (sub_r, 128) tile _line_account expects;
+            # flat word order (= byte order / 4) is preserved. The zero
+            # tail past true_len holds neither '\n' nor mask flags, so no
+            # bound compare is needed (want_lines asserts not strict).
+            from .pallas_swar import _line_account
+
+            mask_blk = jnp.concatenate(mrows, axis=0)   # (SPS, SEG_WORDS)
+            sub_r = SPS * SEG_WORDS // LANES
+            mw = mask_blk.reshape(sub_r, LANES)
+            tw = buf[:SPS].reshape(sub_r, LANES)
+            one_ = _U(0x01010101)
+            v_nl = tw ^ _U(0x0A0A0A0A)
+            k01 = (
+                (((v_nl & _U(0x7F7F7F7F)) + _U(0x7F7F7F7F)) | v_nl)
+                >> _U(7)
+            ) & one_
+            g = (mw & k01) if nl_start else mw
+            dfirst, new_lcarry, _fw = _line_account(
+                k01, g, mw, scratch[3], sub_r, use_v2=(sub_r % 256 == 0)
+            )
+            scratch[2] += dfirst
+            scratch[3] = new_lcarry
         if whole_word:
             # carry this block's last-byte flag to the next grid step
             # (read as pb above before this write)
@@ -451,6 +490,8 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
             count_ref[0] = scratch[0]
+            if want_lines:
+                count_ref[1] = scratch[2]
 
     return kernel
 
@@ -459,7 +500,7 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
     jax.jit,
     static_argnames=(
         "patterns", "case_sensitive", "interpret", "strict", "want_mask",
-        "whole_word",
+        "whole_word", "want_lines",
     ),
 )
 def scan_count(
@@ -474,6 +515,7 @@ def scan_count(
     strict: bool = False,
     want_mask: bool = False,
     whole_word: bool = False,
+    want_lines: bool = False,
 ):
     """Total ALL-overlap match count of K patterns over the staged u32 view
     (dispatch.StagedText.u32, shape (R4 + H4, 128)). Patterns must be
@@ -505,6 +547,12 @@ def scan_count(
         len(p) == 0 or len(p) > MAX_LEN_LONG for p in patterns
     ):
         raise NotImplementedError("pattern length outside MXU kernel support")
+    if want_lines:
+        # in-kernel -c accounting relies on the fresh-staging zero-tail
+        # contract (no '\n' and no match flags past true_len) and on
+        # whole-block line ownership (mesh shards carry lead/trail stats
+        # through the SWAR path instead)
+        assert not strict and not want_mask and start_limit is None
     windows = 2 if any(len(p) > MAX_LEN for p in patterns) else 1
     rows_total, lanes = text32.shape
     assert lanes == LANES
@@ -585,15 +633,21 @@ def scan_count(
                 else []
             )
         ),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((4 if want_lines else 2,), jnp.int32)
+        ],
     )
 
     nwords2 = 0 if G2 is None else G2.shape[1] // 32
     kernel = _make_kernel(
         n_rows2, case_sensitive, strict, sps, want_mask, has_limit, windows,
         kp_s, kp_l, nwords2, whole_word, qs,
+        want_lines=want_lines,
+        nl_start=any(p[0:1] == b"\n" for p in patterns),
     )
-    out_shape = [jax.ShapeDtypeStruct((1,), jnp.int32)]
+    out_shape = [
+        jax.ShapeDtypeStruct((2 if want_lines else 1,), jnp.int32)
+    ]
     if want_mask:
         out_shape.append(
             jax.ShapeDtypeStruct((n_seg_main, SEG_WORDS), jnp.uint32)
@@ -607,4 +661,7 @@ def scan_count(
     if want_mask:
         # same flat packed layout as pallas_swar's mask (word-major)
         return outs[0][0], outs[1].reshape(-1)
+    if want_lines:
+        # (total ALL match count, matched-line count of the union)
+        return outs[0][0], outs[0][1]
     return outs[0][0]

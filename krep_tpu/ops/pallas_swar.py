@@ -232,6 +232,167 @@ def _bit_scan_affine(a_w, b_w):
 # and rejected; see BENCH_NOTES.md.
 
 
+def _line_account(k, g, mword, carry, sub_r, use_v2):
+    """Matched-line accounting over one (sub_r, LANES) tile, packed affine
+    domain — shared by the fused scan kernel and the mask-chained lines
+    kernel (lines_from_mask).
+
+    s_after = (s_before | match) & ~nl per byte (the "-c" dedup state,
+    krep.c:1331-1351): composed within each 4-byte word by a 2-step
+    log-scan on packed bytes, then across elements by the (A,B)
+    affine-bool lane/row scans.
+
+    k: flag words, byte = 1 ⇔ not an owned '\\n'. g: match-start flag
+    words feeding the line state. mword: match flags feeding first-match
+    detection (== g except when a pattern starts with '\\n'). carry:
+    scalar, open line already has a match. Returns (dfirst, new_carry,
+    fw): Δ matched-line count, the carry out, and — only on the non-V2
+    path — the per-byte first-match-in-line flags (the "first_line" mask).
+
+    use_v2 (requires sub_r % 256 == 0): per-word affine identity
+      dfirst = Σ_w X_w − Σ_w S_w·L_w
+    X_w = first-matches-per-segment entering state 0 (per-byte
+    fw0 = g & ~EB0, popcounted), L_w = 1 iff the word's FIRST segment has
+    a match (its first-match is not a new matched line when the line is
+    already matched), S_w = state entering the word — consumed in the
+    bit-packed domain, so the 32-slice sb0 expansion and its relayouts
+    vanish. Exact: every matched line is counted once, at its first match.
+    """
+    one = _U(0x01010101)
+    A = k
+    B = g
+    As = (A << _U(8)) | _U(0x01)
+    Bs = B << _U(8)
+    B = (Bs & A) | B
+    A = As & A
+    As = (A << _U(16)) | _U(0x0101)
+    Bs = B << _U(16)
+    B = (Bs & A) | B
+    A = As & A
+    # exclusive within word (for per-byte s_before)
+    EAw = (A << _U(8)) | _U(0x01)
+    EBw = B << _U(8)
+
+    fw = None
+    if sub_r % 256 == 0:
+        # bit-packed element scans: bit c of packed (r, l) = element
+        # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
+        # Byte-3 extraction happens INSIDE the slice loop (on 1/32
+        # size data) instead of on the full tile: bit 24 of slice c
+        # routes straight to packed bit c with one shift + one mask.
+        Pr = sub_r // 32
+
+        def _pack_b24(X):
+            out = (X[0:Pr] >> _U(24)) & _U(1)
+            for c in range(1, 32):
+                s = X[c * Pr : (c + 1) * Pr]
+                v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
+                out = out | (v & _U(1 << c))
+            return out
+
+        PA = _pack_b24(A)
+        PB = _pack_b24(B)
+        pl_idx = _iota2((Pr, LANES), 1)
+        PAi, PBi = _seg_scan_lane_packed(PA, PB, pl_idx)
+        LEA = _roll(PAi, 1, axis=1)
+        LEB = _roll(PBi, 1, axis=1)
+        fl = pl_idx == 0
+        LEA = jnp.where(fl, _U(0xFFFFFFFF), LEA)
+        LEB = jnp.where(fl, _U(0), LEB)
+        # within-block row scan (blocks stay independent per bit)
+        RA = PAi[:, LANES - 1 :]
+        RB = PBi[:, LANES - 1 :]
+        pridx = _iota2((Pr, 1), 0)
+        RAi, RBi = _seg_scan_rows_packed(RA, RB, pridx, Pr)
+        WEA = _roll(RAi, 1, axis=0)
+        WEB = _roll(RBi, 1, axis=0)
+        fr = pridx == 0
+        WEA = jnp.where(fr, _U(0xFFFFFFFF), WEA)
+        WEB = jnp.where(fr, _U(0), WEB)
+        # block totals: bits of the last within-block scan row
+        lastr = pridx == Pr - 1
+        a_tot_w = _u32_scalar(RAi, lastr)
+        b_tot_w = _u32_scalar(RBi, lastr)
+        # block-prefix compositions, one scalar bit log-scan
+        a_inc, b_inc = _bit_scan_affine(a_tot_w, b_tot_w)
+        a_tot = ((a_inc >> _U(31)) & _U(1)).astype(jnp.int32)
+        b_tot = ((b_inc >> _U(31)) & _U(1)).astype(jnp.int32)
+        # exclusive block prefixes, then fold in the tile carry
+        EAs = (a_inc << _U(1)) | _U(1)
+        EBs = b_inc << _U(1)
+        cbw = _U(0) - carry.astype(jnp.uint32)  # 0 or all-ones
+        S_w = (cbw & EAs) | EBs  # bit c = state entering block c
+        row_state_p = (S_w & WEA) | WEB
+        sb0_p = (row_state_p & LEA) | LEB
+        if use_v2:
+            # first-match detection uses mword, NOT the state stream g: a
+            # match AT a '\n' byte still counts the line that '\n'
+            # terminates (find_line_start semantics, krep.c:363-386 — the
+            # state is 0 there unless an earlier match already counted the
+            # line). g's masking only affects the state, where it is a
+            # no-op anyway ((s|1)&0 == (s|0)&0); the non-V2 path below has
+            # always used mword for fw.
+            fw0 = mword & (EBw ^ one)
+            x_cnt = ((fw0 * one) >> _U(24)).astype(jnp.int32)
+            # ≤1 first-match in a word's first segment ⇒ L ∈ {0,1};
+            # the byte-collapse multiply also runs per slice
+            Lmask = fw0 & EAw
+            PL = ((Lmask[0:Pr] * one) >> _U(24)) & _U(1)
+            for c in range(1, 32):
+                s = Lmask[c * Pr : (c + 1) * Pr] * one
+                v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
+                PL = PL | (v & _U(1 << c))
+            corr = sb0_p & PL
+            # SWAR popcount on the (Pr, LANES) correction bits
+            v = corr - ((corr >> _U(1)) & _U(0x55555555))
+            v = (v & _U(0x33333333)) + ((v >> _U(2)) & _U(0x33333333))
+            v = (v + (v >> _U(4))) & _U(0x0F0F0F0F)
+            pc = ((v * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+            dfirst = jnp.sum(x_cnt) - jnp.sum(pc)
+            sb0 = None
+        else:
+            sb0 = jnp.concatenate(
+                [(sb0_p >> _U(c)) & _U(1) for c in range(32)], axis=0
+            )
+    else:
+        assert not use_v2, "V2 accounting needs sub_r % 256 == 0"
+        # element-level composition = byte 3 of the inclusive scan;
+        # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
+        lane_idx = _iota2((sub_r, LANES), 1)
+        Ae = (A >> _U(24)).astype(_SCAN_DTYPE)
+        Be = (B >> _U(24)).astype(_SCAN_DTYPE)
+        Ai, Bi = _seg_scan_lane(Ae, Be, lane_idx)
+        LEA = _roll(Ai, 1, axis=1)
+        LEB = _roll(Bi, 1, axis=1)
+        first_lane = lane_idx == 0
+        LEA = jnp.where(first_lane, 1, LEA)
+        LEB = jnp.where(first_lane, 0, LEB)
+        RA = Ai[:, LANES - 1 :].astype(jnp.int32)
+        RB = Bi[:, LANES - 1 :].astype(jnp.int32)
+        ridx = _iota2((sub_r, 1), 0)
+        RAi, RBi = _seg_scan_rows(RA, RB, ridx, sub_r)
+        RPA = _roll(RAi, 1, axis=0)
+        RPB = _roll(RBi, 1, axis=0)
+        first_row = ridx == 0
+        RPA = jnp.where(first_row, 1, RPA)
+        RPB = jnp.where(first_row, 0, RPB)
+        row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
+        last_row = ridx == sub_r - 1
+        a_tot = jnp.max(jnp.where(last_row, RAi, 0))
+        b_tot = jnp.max(jnp.where(last_row, RBi, 0))
+        sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
+
+    if sb0 is not None:
+        sbw = ((sb0 * one) & EAw) | EBw
+        fw = mword & (sbw ^ one)
+        dfirst = jnp.sum(
+            ((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
+        )
+
+    new_carry = (carry & a_tot) | b_tot
+    return dfirst, new_carry, fw
+
+
 def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                  whole_word: bool, want_mask: bool, want_lines: bool,
                  tile_r: int, want_stats: bool = False,
@@ -558,11 +719,7 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
                 out_w = mword if want_mask else jnp.zeros((1, 1), jnp.uint32)
                 return dcount, jnp.int32(0), scratch[2], new_wc3, jnp.int32(0), out_w
 
-            # --- matched-line accounting, packed affine domain ---
-            # s_after = (s_before | match) & ~nl per byte (the "-c" dedup
-            # state, krep.c:1331-1351): composed within each 4-byte word by
-            # a 2-step log-scan on packed bytes, then across elements by the
-            # (A,B) affine-bool lane/row scans.
+            # --- matched-line accounting (shared helper _line_account) ---
             one = _U(0x01010101)
             k = k01                           # 1 ⇔ not an owned '\n'
             # a match flag can coincide with a '\n' byte only when some
@@ -572,145 +729,14 @@ def _make_kernel(patterns: tuple[bytes, ...], case_sensitive: bool,
             else:
                 g = mword
 
-            A = k
-            B = g
-            As = (A << _U(8)) | _U(0x01)
-            Bs = B << _U(8)
-            B = (Bs & A) | B
-            A = As & A
-            As = (A << _U(16)) | _U(0x0101)
-            Bs = B << _U(16)
-            B = (Bs & A) | B
-            A = As & A
-            # exclusive within word (for per-byte s_before)
-            EAw = (A << _U(8)) | _U(0x01)
-            EBw = B << _U(8)
-            carry = scratch[2]
-
-            # V2 matched-line accounting (KREP_TPU_LINESV2): avoid the
-            # per-byte s_before reconstruction (sb0 expansion + sbw + fw)
-            # entirely via a per-word affine identity:
-            #   dfirst = Σ_w X_w − Σ_w S_w·L_w
-            # X_w = first-matches-per-segment entering state 0 (per-byte
-            # fw0 = g & ~EB0, popcounted), L_w = 1 iff the word's FIRST
-            # segment has a match (its first-match is not a new matched
-            # line when the line is already matched), S_w = state entering
-            # the word — consumed in the bit-packed domain, so the 32-slice
-            # sb0 expansion and its relayouts vanish. Exact: every matched
-            # line is counted once, at its first match.
             use_v2 = (
                 _LINES_V2
                 and sub_r % 256 == 0
                 and not (want_mask and mask_kind == "first_line")
             )
-
-            if sub_r % 256 == 0:
-                # bit-packed element scans: bit c of packed (r, l) = element
-                # (c*Pr + r, l). 1/32 the scan VREGs of the plain path.
-                # Byte-3 extraction happens INSIDE the slice loop (on 1/32
-                # size data) instead of on the full tile: bit 24 of slice c
-                # routes straight to packed bit c with one shift + one mask.
-                Pr = sub_r // 32
-
-                def _pack_b24(X):
-                    out = (X[0:Pr] >> _U(24)) & _U(1)
-                    for c in range(1, 32):
-                        s = X[c * Pr : (c + 1) * Pr]
-                        v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
-                        out = out | (v & _U(1 << c))
-                    return out
-
-                PA = _pack_b24(A)
-                PB = _pack_b24(B)
-                pl_idx = _iota2((Pr, LANES), 1)
-                PAi, PBi = _seg_scan_lane_packed(PA, PB, pl_idx)
-                LEA = _roll(PAi, 1, axis=1)
-                LEB = _roll(PBi, 1, axis=1)
-                fl = pl_idx == 0
-                LEA = jnp.where(fl, _U(0xFFFFFFFF), LEA)
-                LEB = jnp.where(fl, _U(0), LEB)
-                # within-block row scan (blocks stay independent per bit)
-                RA = PAi[:, LANES - 1 :]
-                RB = PBi[:, LANES - 1 :]
-                pridx = _iota2((Pr, 1), 0)
-                RAi, RBi = _seg_scan_rows_packed(RA, RB, pridx, Pr)
-                WEA = _roll(RAi, 1, axis=0)
-                WEB = _roll(RBi, 1, axis=0)
-                fr = pridx == 0
-                WEA = jnp.where(fr, _U(0xFFFFFFFF), WEA)
-                WEB = jnp.where(fr, _U(0), WEB)
-                # block totals: bits of the last within-block scan row
-                lastr = pridx == Pr - 1
-                a_tot_w = _u32_scalar(RAi, lastr)
-                b_tot_w = _u32_scalar(RBi, lastr)
-                # block-prefix compositions, one scalar bit log-scan
-                a_inc, b_inc = _bit_scan_affine(a_tot_w, b_tot_w)
-                a_tot = ((a_inc >> _U(31)) & _U(1)).astype(jnp.int32)
-                b_tot = ((b_inc >> _U(31)) & _U(1)).astype(jnp.int32)
-                # exclusive block prefixes, then fold in the tile carry
-                EAs = (a_inc << _U(1)) | _U(1)
-                EBs = b_inc << _U(1)
-                cbw = _U(0) - carry.astype(jnp.uint32)  # 0 or all-ones
-                S_w = (cbw & EAs) | EBs  # bit c = state entering block c
-                row_state_p = (S_w & WEA) | WEB
-                sb0_p = (row_state_p & LEA) | LEB
-                if use_v2:
-                    fw0 = g & (EBw ^ one)
-                    x_cnt = ((fw0 * one) >> _U(24)).astype(jnp.int32)
-                    # ≤1 first-match in a word's first segment ⇒ L ∈ {0,1};
-                    # the byte-collapse multiply also runs per slice
-                    Lmask = fw0 & EAw
-                    PL = ((Lmask[0:Pr] * one) >> _U(24)) & _U(1)
-                    for c in range(1, 32):
-                        s = Lmask[c * Pr : (c + 1) * Pr] * one
-                        v = (s >> _U(24 - c)) if c <= 24 else (s << _U(c - 24))
-                        PL = PL | (v & _U(1 << c))
-                    corr = sb0_p & PL
-                    # SWAR popcount on the (Pr, LANES) correction bits
-                    v = corr - ((corr >> _U(1)) & _U(0x55555555))
-                    v = (v & _U(0x33333333)) + ((v >> _U(2)) & _U(0x33333333))
-                    v = (v + (v >> _U(4))) & _U(0x0F0F0F0F)
-                    pc = ((v * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
-                    dfirst = jnp.sum(x_cnt) - jnp.sum(pc)
-                    sb0 = None
-                else:
-                    sb0 = jnp.concatenate(
-                        [(sb0_p >> _U(c)) & _U(1) for c in range(32)], axis=0
-                    )
-            else:
-                # element-level composition = byte 3 of the inclusive scan;
-                # narrow to _SCAN_DTYPE (0/1 values) for the log-scans
-                Ae = (A >> _U(24)).astype(_SCAN_DTYPE)
-                Be = (B >> _U(24)).astype(_SCAN_DTYPE)
-                Ai, Bi = _seg_scan_lane(Ae, Be, lane_idx)
-                LEA = _roll(Ai, 1, axis=1)
-                LEB = _roll(Bi, 1, axis=1)
-                first_lane = lane_idx == 0
-                LEA = jnp.where(first_lane, 1, LEA)
-                LEB = jnp.where(first_lane, 0, LEB)
-                RA = Ai[:, LANES - 1 :].astype(jnp.int32)
-                RB = Bi[:, LANES - 1 :].astype(jnp.int32)
-                ridx = _iota2((sub_r, 1), 0)
-                RAi, RBi = _seg_scan_rows(RA, RB, ridx, sub_r)
-                RPA = _roll(RAi, 1, axis=0)
-                RPB = _roll(RBi, 1, axis=0)
-                first_row = ridx == 0
-                RPA = jnp.where(first_row, 1, RPA)
-                RPB = jnp.where(first_row, 0, RPB)
-                row_state = ((carry & RPA) | RPB).astype(_SCAN_DTYPE)
-                last_row = ridx == sub_r - 1
-                a_tot = jnp.max(jnp.where(last_row, RAi, 0))
-                b_tot = jnp.max(jnp.where(last_row, RBi, 0))
-                sb0 = ((row_state & LEA) | LEB).astype(jnp.uint32)
-
-            if sb0 is not None:
-                sbw = ((sb0 * one) & EAw) | EBw
-                fw = mword & (sbw ^ one)
-                dfirst = jnp.sum(
-                    ((fw * _U(0x01010101)) >> _U(24)).astype(jnp.int32)
-                )
-
-            new_carry = (carry & a_tot) | b_tot
+            dfirst, new_carry, fw = _line_account(
+                k, g, mword, scratch[2], sub_r, use_v2
+            )
 
             lead_tile = jnp.int32(0)
             if want_stats:
@@ -980,6 +1006,116 @@ def scan_multi(
         assume_zero_tail=assume_zero_tail, want_count=want_count,
     )
     return counts[0], counts[1], mask
+
+
+def _make_lines_kernel(block_r: int, nl_start_matches: bool, use_v2: bool):
+    def kernel(tl_ref, main_ref, mask_ref, count_ref, scratch):
+        del tl_ref  # zero tail past true_len can hold neither '\n' nor flags
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            scratch[0] = 0   # matched-line count
+            scratch[1] = 0   # carry: open line already has a match
+
+        e0 = main_ref[:]
+        mword = mask_ref[:]
+        one_ = _U(0x01010101)
+        # k01 = 1 per byte iff byte != '\n' (see _make_kernel's derivation)
+        v_nl = e0 ^ _U(0x0A0A0A0A)
+        k01 = (
+            (((v_nl & _U(0x7F7F7F7F)) + _U(0x7F7F7F7F)) | v_nl) >> _U(7)
+        ) & one_
+        any_nl = jnp.any(k01 != one_)
+        has_m = jnp.any(mword != _U(0))
+
+        def full_path(_):
+            g = (mword & k01) if nl_start_matches else mword
+            dfirst, new_carry, _fw = _line_account(
+                k01, g, mword, scratch[1], block_r, use_v2
+            )
+            return dfirst, new_carry
+
+        def cheap_path(_):
+            carry = scratch[1]
+            return jnp.int32(0), jnp.where(any_nl, 0, carry)
+
+        dfirst, new_carry = jax.lax.cond(has_m, full_path, cheap_path, 0)
+        scratch[0] += dfirst
+        scratch[1] = new_carry
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            count_ref[0] = scratch[0]
+            count_ref[1] = scratch[1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nl_start_matches", "interpret")
+)
+def lines_from_mask(
+    text32: jax.Array,
+    mask: jax.Array,
+    true_len: jax.Array,
+    *,
+    nl_start_matches: bool = False,
+    interpret: bool = False,
+):
+    """Distinct matched-line count from a precomputed packed match-start
+    mask — the device-side second stage that lets the MXU bit-matmul route
+    serve multi-pattern -c with scalar-only readback (the reference's AC
+    counts lines in-stream at any K, aho_corasick.c:390-403 +
+    krep.c:1331-1351; before this kernel, K>=32 -c either ran the K-linear
+    VPU fused scan or read the full union mask back to the host).
+
+    mask: flat (R4*128,) uint32 in the v1 packed layout scan_multi /
+    mxu_multi.scan_count emit with want_mask=True (little-endian byte p of
+    word e = 1 <=> a match starts at byte 4e+p). text32: the SAME staged
+    u32 view the mask was computed from (newline detection). Whole-word
+    pruning is the mask producer's job (both kernels prune in-kernel).
+    nl_start_matches: pass True when some pattern starts with '\\n' (the
+    state update must not see a match flag on the newline byte itself —
+    same rule as the fused kernel's g = mword & k).
+
+    Returns the matched-line count (traced i32 scalar; only the scalar
+    crosses the device boundary)."""
+    rows_total, lanes = text32.shape
+    assert lanes == LANES
+    R4 = rows_total - H4
+    mask2 = mask.reshape(R4, LANES)
+    # two streamed inputs (text + mask): 1024-row tiles double-buffer
+    # better than the light path's 2048 (measured on v5e: 218 vs 162
+    # GB/s median at 128 MiB)
+    tile_r = _pick_tile(R4, 1, light=True)
+    if tile_r > 1024 and R4 % 1024 == 0:
+        tile_r = 1024
+    T = R4 // tile_r
+    use_v2 = _LINES_V2 and tile_r % 256 == 0
+    tl = true_len.astype(jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        _make_lines_kernel(tile_r, nl_start_matches, use_v2),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2,), jnp.int32)],
+        interpret=interpret,
+    )(tl, text32, mask2)  # grid covers R4 rows; halo rows never read
+    return outs[0][0]
 
 
 @functools.partial(

@@ -326,3 +326,78 @@ def test_mxu_whole_word_matches_swar_kernel():
         want_mask=False, want_lines=False, interpret=True,
     )
     assert got_mxu == int(c) == naive_total_ww(TEXT, pats)
+
+
+# ---- in-kernel line accounting (want_lines) --------------------------------
+
+
+def _union_lines(text, pats, cs=True, ww=False):
+    u = set()
+    for p in pats:
+        u.update(naive.all_starts(text, p, cs, ww))
+    return naive.matched_lines(text, sorted(u))
+
+
+def run_mxu_lines(text: bytes, pats, cs=True, ww=False):
+    st = dispatch.stage(text)
+    cnt, lines = mxu_multi.scan_count(
+        st.u32, st.true_len, patterns=tuple(pats),
+        case_sensitive=cs, whole_word=ww, want_lines=True, interpret=True,
+    )
+    return int(cnt), int(lines)
+
+
+def test_want_lines_matches_naive():
+    text = naive.gen_corpus(11, 150_000, alphabet=b"the fox\ndog cat qx")
+    pats = (b"the", b"fox", b"dog c", b"qx")
+    cnt, lines = run_mxu_lines(text, pats)
+    assert cnt == naive_total(text, pats)
+    assert lines == _union_lines(text, pats)
+
+
+def test_want_lines_whole_word_case_insensitive():
+    text = naive.gen_corpus(13, 120_000, alphabet=b"The fox_y\ndog THE cat")
+    pats = (b"the", b"fox", b"cat")
+    for cs, ww in ((True, True), (False, False), (False, True)):
+        _, lines = run_mxu_lines(text, pats, cs=cs, ww=ww)
+        assert lines == _union_lines(text, pats, cs, ww), (cs, ww)
+
+
+def test_want_lines_line_carry_across_blocks():
+    """One line spanning multiple 128 KiB grid blocks with matches in
+    several blocks must count once (the SMEM line-state carry)."""
+    body = bytearray(b" " * (384 * 1024))
+    body[100:103] = b"cat"
+    body[200_000:200_003] = b"cat"    # block 1, same (only) line
+    body[300_000] = 0x0A
+    body[300_010:300_013] = b"cat"    # second line
+    cnt, lines = run_mxu_lines(bytes(body), (b"cat", b"dogx"))
+    assert cnt == 3 and lines == 2
+
+
+def test_want_lines_two_window_long_members():
+    """Sets with 14..29-byte members (two-window AND) keep exact lines."""
+    text = naive.gen_corpus(17, 100_000, alphabet=b"the quick brown fox\n")
+    long_p = text[50:72]  # 22 bytes, real substring
+    pats = (b"quick", long_p, b"fox")
+    cnt, lines = run_mxu_lines(text, pats)
+    assert cnt == naive_total(text, pats)
+    assert lines == _union_lines(text, pats)
+
+
+def test_want_lines_nl_start_pattern():
+    text = b"a\nb\na\nccc\n" * 40
+    pats = tuple(dict.fromkeys([b"\na", b"ccc"] + [
+        b"z%02d" % i for i in range(34)
+    ]))  # pad K so the set shape is MXU-typical
+    cnt, lines = run_mxu_lines(text, pats)
+    assert cnt == naive_total(text, pats)
+    # fused-kernel semantics oracle: lines counted at non-'\n' first matches
+    st = dispatch.stage(text)
+    from krep_tpu.ops import pallas_swar
+
+    _, want, _ = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats, want_mask=False,
+        want_lines=True, interpret=True,
+    )
+    assert lines == int(want)

@@ -200,3 +200,39 @@ def test_newline_pattern_count_simd_divergence():
     out_auto, _ = oracle.run_on_text(text, ["-c", "-e", pat.decode("latin1")])
     auto = oracle.count_from_output(out_auto)
     assert auto <= got  # SIMD (if selected on this host) only loses lines
+
+
+def test_multi_newline_pattern_count_ac_divergence():
+    """KNOWN_DIVERGENCES #10: the reference AC's -c dedup is a single-value
+    memo (last_counted_line_start, aho_corasick.c:392-402), exact only
+    while line starts arrive monotonically. AC walks matches in END order;
+    a '\\n'-spanning member makes line starts interleave and the memo then
+    counts a revisited line AGAIN. We count each matched line exactly
+    once; the pin is (a) our count equals ground truth, and (b) the
+    reference's AC either agrees or OVERcounts (the bug direction)."""
+    # '\nbb' spans a boundary; 'cc' hits later lines between its matches,
+    # bouncing the memo off each revisited line
+    text = b"aa\nbb cc\nbb cc\nbb\n" * 30
+    pats = (b"\nbb", b"cc")
+    starts = set()
+    for p in pats:
+        starts.update(
+            i for i in range(len(text) - len(p) + 1)
+            if text[i : i + len(p)] == p
+        )
+    lines = {text.count(b"\n", 0, s) for s in starts}
+    p = SearchParams(patterns=pats, count_mode=True)
+    got = search_string(p, text).count
+    assert got == len(lines)  # exact ground truth
+
+    out, rc = oracle.run_on_text(
+        text, ["-c", "-e", pats[0].decode("latin1"), "-e", "cc"]
+    )
+    assert rc == 0
+    ref = oracle.count_from_output(out)
+    assert ref >= got  # AC memo (if it revisits) only overcounts
+
+    # members without '\n' can't span a line: memo monotone => byte parity
+    out2, rc2 = oracle.run_on_text(text, ["-c", "-e", "bb", "-e", "cc"])
+    p2 = SearchParams(patterns=(b"bb", b"cc"), count_mode=True)
+    assert search_string(p2, text).count == oracle.count_from_output(out2)

@@ -323,3 +323,135 @@ def test_block_subtile_carry_exact(monkeypatch):
         want_lines=True, interpret=True,
     )
     assert int(c) == 2 and int(l) == 1
+
+
+# ---- lines_from_mask: the mask-chained -c second stage ---------------------
+
+
+def _union_starts(text, pats, case_sensitive=True, whole_word=False):
+    u = set()
+    for p in pats:
+        u.update(naive.all_starts(text, p, case_sensitive, whole_word))
+    return sorted(u)
+
+
+def test_lines_from_mask_matches_fused_and_naive():
+    """Chained (mask -> lines) result == the fused kernel's in-kernel line
+    count == naive, over varied corpora and pattern sets."""
+    for seed, size in ((3, 50_000), (9, 300_000), (13, 257 * 1024)):
+        text = naive.gen_corpus(seed, size, alphabet=b"the fox\ndog cat_x")
+        pats = (b"the", b"fox", b"dog", b"cat", b"og c")
+        st = dispatch.stage(text)
+        _, lines_fused, mask = pallas_swar.scan_multi(
+            st.u32, st.true_len, patterns=pats, want_mask=True,
+            want_lines=True, interpret=True,
+        )
+        lines_chained = pallas_swar.lines_from_mask(
+            st.u32, mask, st.true_len, interpret=True
+        )
+        want = naive.matched_lines(text, _union_starts(text, pats))
+        assert int(lines_fused) == want, (seed, size)
+        assert int(lines_chained) == want, (seed, size)
+
+
+def test_lines_from_mask_carry_across_tiles(monkeypatch):
+    """A matched line spanning tile boundaries counts once; a line whose
+    matches all sit in a later tile still counts."""
+    monkeypatch.setenv("KREP_TPU_TILE", "256")  # 128 KiB tiles, many steps
+    body = bytearray(b" " * (512 * 1024))
+    body[10:13] = b"cat"           # tile 0, line 0
+    body[131072 + 7 : 131072 + 10] = b"cat"   # tile 1, SAME line 0
+    body[300_000] = 0x0A
+    body[300_010:300_013] = b"cat"  # line 1
+    text = bytes(body)
+    st = dispatch.stage(text)
+    _, _, mask = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=(b"cat",), want_mask=True,
+        want_lines=False, interpret=True,
+    )
+    lines = pallas_swar.lines_from_mask(st.u32, mask, st.true_len, interpret=True)
+    assert int(lines) == 2
+
+
+def test_lines_from_mask_edge_cases():
+    # empty mask -> 0; match on last byte of text; no trailing newline
+    text = b"x" * 1000 + b"cat"
+    st = dispatch.stage(text)
+    _, _, mask = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=(b"cat",), want_mask=True,
+        want_lines=False, interpret=True,
+    )
+    assert int(pallas_swar.lines_from_mask(st.u32, mask, st.true_len, interpret=True)) == 1
+    import jax.numpy as jnp
+
+    zero = jnp.zeros_like(mask)
+    assert int(pallas_swar.lines_from_mask(st.u32, zero, st.true_len, interpret=True)) == 0
+
+
+def test_lines_from_mask_nl_start_pattern():
+    """A pattern starting with '\\n': state/first-match handling must match
+    the fused kernel's (g = mword & k) semantics."""
+    text = b"a\nb\na\nccc\n" * 50
+    pats = (b"\na", b"ccc")
+    st = dispatch.stage(text)
+    _, lines_fused, mask = pallas_swar.scan_multi(
+        st.u32, st.true_len, patterns=pats, want_mask=True,
+        want_lines=True, interpret=True,
+    )
+    lines_chained = pallas_swar.lines_from_mask(
+        st.u32, mask, st.true_len, nl_start_matches=True, interpret=True
+    )
+    assert int(lines_chained) == int(lines_fused)
+
+
+def test_lines_from_mask_fuzz():
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        size = int(rng.integers(1_000, 400_000))
+        nl_p = float(rng.choice([0.0, 0.002, 0.05, 0.3]))
+        arr = rng.integers(97, 102, size, dtype=np.uint8)  # a..e
+        arr[rng.random(size) < nl_p] = 10
+        text = arr.tobytes()
+        kset = []
+        for _ in range(int(rng.integers(1, 6))):
+            m = int(rng.integers(1, 7))
+            off = int(rng.integers(0, max(size - m, 1)))
+            p = text[off : off + m]
+            if p and b"\n" not in p:
+                kset.append(p)
+        if not kset:
+            kset = [b"a"]
+        pats = tuple(dict.fromkeys(kset))
+        st = dispatch.stage(text)
+        _, _, mask = pallas_swar.scan_multi(
+            st.u32, st.true_len, patterns=pats, want_mask=True,
+            want_lines=False, interpret=True,
+        )
+        lines = pallas_swar.lines_from_mask(st.u32, mask, st.true_len, interpret=True)
+        want = naive.matched_lines(text, _union_starts(text, pats))
+        assert int(lines) == want, (trial, size, nl_p, pats)
+
+
+def test_v2_counts_match_at_newline_byte(monkeypatch):
+    """V2 accounting bug (round 5): fw0 built from the MASKED state
+    stream g dropped matches starting AT a '\\n' byte, so a line whose
+    only match is its terminating '\\n' was never counted (reference:
+    find_line_start attributes it to the terminated line,
+    krep.c:363-386). 210 KB stages to an R4=512 bucket, so the forced
+    256-row tile is V2-eligible with a T=2 grid (line carry covered);
+    pre-fix this reported lines == 0."""
+    monkeypatch.setenv("KREP_TPU_TILE", "256")
+    body = b"xxxx\nyyyy\nzzzz\n" * 14000  # 210 KB
+    st = dispatch.stage(body)
+    c, l, mask = pallas_swar.scan_literal(
+        st.u32, st.true_len, pattern=b"\ny", want_mask=True,
+        want_lines=True, interpret=True,
+    )
+    starts = naive.all_starts(body, b"\ny")
+    assert int(c) == len(starts)
+    assert int(l) == naive.matched_lines(body, starts) == 14000
+    # the chained lines kernel under nl_start semantics agrees
+    l3 = pallas_swar.lines_from_mask(
+        st.u32, mask, st.true_len, nl_start_matches=True, interpret=True
+    )
+    assert int(l3) == 14000

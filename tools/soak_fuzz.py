@@ -300,6 +300,11 @@ def string_stdin_batch(seed: int, cases: int) -> int:
                 flags.append("-c")  # reference default-print hang dodge
             if rng.random() < 0.25:
                 flags += ["-m", str(int(rng.integers(0, 5)))]
+            if "-c" in flags and "-o" not in flags and b"\n" in pat:
+                # reference SIMD -c loses lines for '\n'-containing
+                # patterns (KNOWN_DIVERGENCES #9) — same guard as
+                # test_fuzz_oracle.gen_case: pin the scalar selection
+                flags.append("--no-simd")
             args = [*flags, "-s", pat.decode("latin1"),
                     text.decode("latin1")]
             out = io.BytesIO()
@@ -448,6 +453,163 @@ def tree_batch(seed: int, cases: int) -> int:
     return cases
 
 
+# ---- rig H: the -r batch/solo pipeline itself (VERDICT r4 item 7) ---------
+
+NEG_GITIGNORE_CHAINS = [
+    b"*.txt\n!keep.txt\n",
+    b"sub0/\n!sub0/\n*.log\n",
+    b"a*.txt\n!a1.txt\nsub1/*.txt\n!sub1/a*.txt\n",
+    b"*.log\n!important.log\ndeep/\n",
+    b"f0*\n!f00*\n",
+]
+
+
+def _gen_pipeline_tree(rng, root: str):
+    """Rig H tree: tiny + batchable + >BATCH_FILE_MAX solo files, dangling
+    symlinks, an unreadable dir (non-root only), and .gitignore negation
+    chains — the shapes that stress submit/drain interleaving in
+    io/batch.py + io/walker.py's ordered emit queue."""
+    import pathlib
+
+    from krep_tpu.io import batch as batch_mod
+
+    base = pathlib.Path(root)
+    subs = [base]
+    for d in range(int(rng.integers(1, 4))):
+        p = base / f"sub{d}"
+        p.mkdir()
+        subs.append(p)
+    words = TREE_WORDS
+    n_solo = 0
+    for i in range(int(rng.integers(8, 28))):
+        d = subs[int(rng.integers(0, len(subs)))]
+        r = rng.random()
+        if r < 0.25:
+            body = (b"" if rng.random() < 0.5
+                    else words[int(rng.integers(0, len(words)))] + b"\n")
+        elif r < 0.88 or n_solo >= 2:
+            k = int(rng.integers(1, 300))
+            body = b"\n".join(
+                words[int(j)] for j in rng.integers(0, len(words), k)
+            ) + b"\n"
+        else:
+            # solo: beyond the batch limit, searched out-of-batch
+            unit = b" ".join(
+                words[int(j)] for j in rng.integers(0, len(words), 8)
+            ) + b"\n"
+            body = unit * (batch_mod.BATCH_FILE_MAX // len(unit) + 2)
+            n_solo += 1
+        name = f"{'a' if rng.random() < 0.3 else 'f'}{i:02d}" + (
+            ".log" if rng.random() < 0.2 else ".txt")
+        (d / name).write_bytes(body)
+    if rng.random() < 0.5:
+        (base / "dangling.txt").symlink_to(base / "missing_target.txt")
+    if rng.random() < 0.4 and os.geteuid() != 0:
+        locked = base / "locked"
+        locked.mkdir()
+        (locked / "hidden.txt").write_bytes(b"the cat\n")
+        os.chmod(locked, 0)
+    if rng.random() < 0.6:
+        chain = NEG_GITIGNORE_CHAINS[
+            int(rng.integers(0, len(NEG_GITIGNORE_CHAINS)))]
+        (base / ".gitignore").write_bytes(chain)
+
+
+def pipeline_batch(seed: int, cases: int) -> int:
+    """Rig H: full stdout + stderr + rc diff of -r runs over pipeline-
+    stressing trees, with the batch submit/drain instrumentation from
+    tests/test_batch.py generalized — whenever several batches exist, the
+    ordered emit queue must keep >= 2 in flight (no full drain on solo
+    boundaries)."""
+    import shutil
+    import stat as stat_mod
+
+    from clirun import run_cli
+    from krep_tpu.io import batch as batch_mod
+
+    rng = np.random.default_rng(seed)
+    done = 0
+    # force many small batches so depth is observable on small trees
+    real_max = batch_mod.BATCH_BUFFER_MAX
+    batch_mod.BATCH_BUFFER_MAX = 64 << 10
+    real_submit, real_drain = batch_mod.submit_batch, batch_mod.drain_batch
+    try:
+        for case in range(cases):
+            root = tempfile.mkdtemp(prefix="soak_pipe_")
+            in_flight = [0]
+            stats = {"max": 0, "submits": 0}
+
+            def submit(params, b, _s=real_submit):
+                in_flight[0] += 1
+                stats["submits"] += 1
+                stats["max"] = max(stats["max"], in_flight[0])
+                return _s(params, b)
+
+            def drain(params, pending, _d=real_drain):
+                in_flight[0] -= 1
+                yield from _d(params, pending)
+
+            batch_mod.submit_batch = submit
+            batch_mod.drain_batch = drain
+            try:
+                _gen_pipeline_tree(rng, root)
+                flags = ["-r"]
+                if rng.random() < 0.5:
+                    flags.append("--gitignore")
+                if rng.random() < 0.3:
+                    flags.append("-i")
+                if rng.random() < 0.2:
+                    flags.append("-w")
+                mode = rng.random()
+                if mode < 0.5:
+                    flags.append("-c")
+                elif mode < 0.8:
+                    flags.append("-o")
+                if rng.random() < 0.15:
+                    flags += ["-m", str(int(rng.integers(1, 5)))]
+                pat = ["the", "cat", "THE", "e", "no match"][
+                    int(rng.integers(0, 5))]
+                args = [*flags, pat, root]
+                got, gerr, rc = run_cli(args)
+                want, werr, wrc = oracle.run_full(args, timeout=120)
+                if (sorted(got.splitlines()) != sorted(want.splitlines())
+                        or sorted(gerr.splitlines()) != sorted(want_err_lines(werr))
+                        or rc != wrc):
+                    keep = tempfile.mkdtemp(prefix="soak_pipe_repro_")
+                    _unlock(root)
+                    shutil.copytree(root, keep, dirs_exist_ok=True,
+                                    symlinks=True)
+                    fail(7, seed, case, args,
+                         b"<tree kept at " + keep.encode() + b">",
+                         got + b"|ERR|" + gerr, want + b"|ERR|" + werr,
+                         rc, wrc)
+                if stats["submits"] >= 3 and stats["max"] < 2:
+                    fail(7, seed, case, args + ["<pipeline-depth>"],
+                         b"<tree>", str(stats).encode(), b"max>=2", rc, wrc)
+                done += 1
+            finally:
+                batch_mod.submit_batch = real_submit
+                batch_mod.drain_batch = real_drain
+                _unlock(root)
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        batch_mod.BATCH_BUFFER_MAX = real_max
+    return done
+
+
+def _unlock(root: str) -> None:
+    for r, dirs, _fs in os.walk(root):
+        for d in dirs:
+            try:
+                os.chmod(os.path.join(r, d), 0o755)
+            except OSError:
+                pass
+
+
+def want_err_lines(werr: bytes) -> list[bytes]:
+    return werr.splitlines()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=1800.0)
@@ -466,12 +628,13 @@ def main() -> int:
     total = 0
     rounds = 0
     while time.time() - t0 < a.seconds:
-        total += literal_batch(base + 6 * rounds, 20)
-        total += ere_batch(base + 6 * rounds + 1, 15)
-        total += tree_batch(base + 6 * rounds + 2, 6)
-        total += manypat_batch(base + 6 * rounds + 3, 3)
-        total += string_stdin_batch(base + 6 * rounds + 4, 12)
-        total += degenerate_batch(base + 6 * rounds + 5, 10)
+        total += literal_batch(base + 7 * rounds, 20)
+        total += ere_batch(base + 7 * rounds + 1, 15)
+        total += tree_batch(base + 7 * rounds + 2, 6)
+        total += manypat_batch(base + 7 * rounds + 3, 3)
+        total += string_stdin_batch(base + 7 * rounds + 4, 12)
+        total += degenerate_batch(base + 7 * rounds + 5, 10)
+        total += pipeline_batch(base + 7 * rounds + 6, 4)
         rounds += 1
         now = time.time()
         if now - last >= 60:
