@@ -322,8 +322,10 @@ def search_directory(params: SearchParams, base_dir: str, out, color: bool, thre
             else:
                 drain_head_batch()
 
+    # size-independent eligibility once per run, size check per file
+    params_eligible = batch_mod.eligible_params(params)
     for path, size in _walk(base_dir, use_gi, None, err_acc):
-        if batch_mod.eligible(params, size):
+        if params_eligible and size <= batch_mod.BATCH_FILE_MAX:
             try:
                 with open(path, "rb") as f:
                     data = f.read()

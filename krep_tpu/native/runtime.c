@@ -11,6 +11,7 @@
  */
 
 #define _GNU_SOURCE /* memrchr */
+#include <pthread.h>
 #include <regex.h>
 #include <stdint.h>
 #include <stddef.h>
@@ -744,6 +745,92 @@ void krep_batch_literal_counts(const uint8_t *buf, const int64_t *bounds,
         out[i] = krep_literal_scan(buf + s, e - s, pat, m, case_insensitive,
                                    whole_word, count_lines_mode, 0, -1, NULL);
     }
+}
+
+/* Threaded variant: files are independent scans, so the batch partitions
+ * across worker threads by cumulative byte volume (the analogue of the
+ * reference's chunked thread pool for ONE large file, krep.c:2790-2905 —
+ * here the parallel unit is the file). Results land in disjoint out[i]
+ * slots; no synchronization beyond join. */
+#define KREP__BATCH_MAX_THREADS 64
+
+typedef struct {
+    const uint8_t *buf;
+    const int64_t *bounds;
+    const uint8_t *pat;
+    int64_t m;
+    int ci, ww, clm;
+    int64_t lo, hi;
+    int64_t *out;
+} krep__batch_task;
+
+static void *krep__batch_worker(void *arg)
+{
+    krep__batch_task *t = (krep__batch_task *)arg;
+    for (int64_t i = t->lo; i < t->hi; ++i) {
+        int64_t s = t->bounds[2 * i], e = t->bounds[2 * i + 1];
+        t->out[i] = krep_literal_scan(t->buf + s, e - s, t->pat, t->m,
+                                      t->ci, t->ww, t->clm, 0, -1, NULL);
+    }
+    return NULL;
+}
+
+void krep_batch_literal_counts_mt(const uint8_t *buf, const int64_t *bounds,
+                                  int64_t nfiles, const uint8_t *pat,
+                                  int64_t m, int case_insensitive,
+                                  int whole_word, int count_lines_mode,
+                                  int threads, int64_t *out)
+{
+    int64_t total = 0;
+    for (int64_t i = 0; i < nfiles; ++i)
+        total += bounds[2 * i + 1] - bounds[2 * i];
+    if (threads > KREP__BATCH_MAX_THREADS)
+        threads = KREP__BATCH_MAX_THREADS;
+    if (threads > nfiles)
+        threads = (int)nfiles;
+    /* volume floor: thread spawn costs ~50us; a small batch scans faster
+     * serially than it forks */
+    if (threads <= 1 || total < (1 << 20)) {
+        krep_batch_literal_counts(buf, bounds, nfiles, pat, m,
+                                  case_insensitive, whole_word,
+                                  count_lines_mode, out);
+        return;
+    }
+    krep__batch_task tasks[KREP__BATCH_MAX_THREADS];
+    pthread_t tids[KREP__BATCH_MAX_THREADS];
+    int nt = 0;
+    int64_t i = 0, acc = 0;
+    for (int t = 0; t < threads && i < nfiles; ++t) {
+        int64_t goal = (total * (t + 1)) / threads;
+        int64_t lo = i;
+        while (i < nfiles && (acc < goal || i == lo)) {
+            acc += bounds[2 * i + 1] - bounds[2 * i];
+            ++i;
+        }
+        if (t == threads - 1)
+            i = nfiles; /* remainder */
+        tasks[nt].buf = buf;
+        tasks[nt].bounds = bounds;
+        tasks[nt].pat = pat;
+        tasks[nt].m = m;
+        tasks[nt].ci = case_insensitive;
+        tasks[nt].ww = whole_word;
+        tasks[nt].clm = count_lines_mode;
+        tasks[nt].lo = lo;
+        tasks[nt].hi = i;
+        tasks[nt].out = out;
+        ++nt;
+    }
+    for (int t = 1; t < nt; ++t)
+        if (pthread_create(&tids[t], NULL, krep__batch_worker, &tasks[t])) {
+            /* spawn failure: run the remainder inline */
+            krep__batch_worker(&tasks[t]);
+            tids[t] = 0;
+        }
+    krep__batch_worker(&tasks[0]);
+    for (int t = 1; t < nt; ++t)
+        if (tids[t])
+            pthread_join(tids[t], NULL);
 }
 
 /* Count of distinct line ids among sorted match starts, given sorted

@@ -37,7 +37,8 @@ def _build() -> str:
     with tempfile.TemporaryDirectory() as td:
         tmp = os.path.join(td, "krep_runtime.so")
         subprocess.run(
-            [cc, "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
+            [cc, "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+             _SRC, "-o", tmp],
             check=True,
             capture_output=True,
         )
@@ -141,6 +142,12 @@ _lib.krep_batch_literal_counts.argtypes = [
     ctypes.c_int,              # count_lines_mode
     _i64p,                     # out counts
 ]
+_lib.krep_batch_literal_counts_mt.restype = None
+_lib.krep_batch_literal_counts_mt.argtypes = (
+    _lib.krep_batch_literal_counts.argtypes[:-1]
+    + [ctypes.c_int]           # threads
+    + [_i64p]                  # out counts
+)
 _lib.krep_memchr_short_o_scan.restype = ctypes.c_int64
 _lib.krep_memchr_short_o_scan.argtypes = [
     _u8p,                      # text
@@ -203,15 +210,23 @@ def batch_literal_counts(
     case_insensitive: bool,
     whole_word: bool,
     count_lines: bool,
+    threads: int | None = None,
 ) -> np.ndarray:
     """Per-file counts over a concatenated batch buffer in one native call.
     bounds: (nfiles, 2) int64 (start, end) offsets; each file scans with
-    text-edge semantics (the per-file launches at krep.c:3402-3430)."""
+    text-edge semantics (the per-file launches at krep.c:3402-3430).
+    threads: worker threads for the scan (files partition by byte volume;
+    results are position-identical regardless). None = KREP_TPU_HOST_THREADS
+    env, else min(8, cpu count); the C side falls back to the serial loop
+    below a 1 MiB volume floor."""
     buf = np.ascontiguousarray(buf, np.uint8)
     bounds = np.ascontiguousarray(bounds, np.int64)
     nfiles = bounds.shape[0]
     out = np.empty(nfiles, np.int64)
-    _lib.krep_batch_literal_counts(
+    if threads is None:
+        env = os.environ.get("KREP_TPU_HOST_THREADS")
+        threads = int(env) if env else min(8, os.cpu_count() or 1)
+    _lib.krep_batch_literal_counts_mt(
         buf,
         bounds.reshape(-1),
         nfiles,
@@ -220,6 +235,7 @@ def batch_literal_counts(
         int(case_insensitive),
         int(whole_word),
         int(count_lines),
+        int(threads),
         out,
     )
     return out

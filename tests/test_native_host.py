@@ -166,3 +166,37 @@ def test_render_only_matching_closed_pipe_raises():
             printer.print_only_matching(f, buf, positions, None, False)
     finally:
         signal.signal(signal.SIGPIPE, old)
+
+
+@pytest.mark.parametrize("count_lines", [False, True])
+@pytest.mark.parametrize("threads", [2, 5, 64])
+def test_batch_counts_mt_matches_serial(count_lines, threads):
+    # the threaded batch scan partitions files by byte volume across
+    # pthreads; results must be slot-identical to the serial loop for any
+    # thread count (including threads > nfiles). Volume > 1 MiB so the
+    # C-side floor doesn't short-circuit to serial.
+    rng = np.random.default_rng(31)
+    sizes = rng.integers(200, 9_000, 300)
+    bounds, off = [], 0
+    chunks = []
+    for s in sizes:
+        b = _rand_text(rng, int(s), nl_p=0.02)
+        # sprinkle real matches
+        for p in rng.integers(0, max(1, s - 4), 5):
+            b[p : p + 3] = np.frombuffer(b"the", np.uint8)
+        chunks.append(b)
+        bounds.append((off, off + int(s)))
+        off += int(s) + 7
+    buf = np.zeros(off, np.uint8)
+    for (lo, hi), b in zip(bounds, chunks):
+        buf[lo:hi] = b
+    assert off > (1 << 20)
+    bounds = np.array(bounds, np.int64)
+    serial = native.batch_literal_counts(
+        buf, bounds, b"the", False, False, count_lines, threads=1
+    )
+    mt = native.batch_literal_counts(
+        buf, bounds, b"the", False, False, count_lines, threads=threads
+    )
+    assert np.array_equal(serial, mt)
+    assert serial.sum() > 0
