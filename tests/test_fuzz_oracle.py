@@ -86,6 +86,19 @@ def gen_case(rng):
         flags += ["--algo", "bm" if rng.random() < 0.5 else "kmp"]
     if rng.random() < 0.1:
         flags.append("--no-simd")
+    _WORD = frozenset(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+    if "-w" in flags and any(
+        any(c not in _WORD for c in p) for p in pats
+    ):
+        # a rejected -w candidate still consumes pattern_len in the
+        # reference's SIMD and KMP engines, losing overlapping
+        # word-bounded matches (KNOWN_DIVERGENCES #11) — pin the exact
+        # BMH/scalar selection for the oracle comparison
+        if "--no-simd" not in flags:
+            flags.append("--no-simd")
+        flags = ["bm" if f == "kmp" else f for f in flags]
     if (
         "-c" in flags and "-o" not in flags
         and "--no-simd" not in flags

@@ -236,3 +236,31 @@ def test_multi_newline_pattern_count_ac_divergence():
     out2, rc2 = oracle.run_on_text(text, ["-c", "-e", "bb", "-e", "cc"])
     p2 = SearchParams(patterns=(b"bb", b"cc"), count_mode=True)
     assert search_string(p2, text).count == oracle.count_from_output(out2)
+
+
+def test_whole_word_rejected_overlap_divergence():
+    """KNOWN_DIVERGENCES #11: a -w candidate the reference REJECTS at the
+    word-boundary test still consumes pattern_len in its non-overlap
+    engines (SIMD krep.c:4835-4848, KMP krep.c:1735-1745), skipping a
+    word-bounded match that overlaps it. We filter boundaries BEFORE the
+    advance, so only matched spans consume text. Pins: (a) our result is
+    ground truth, (b) the reference's scalar/BMH selections agree with us
+    byte-for-byte, (c) the auto and kmp selections only ever UNDERcount
+    (the bug direction)."""
+    # candidate 'a a' at offset 1 is preceded by the word char 'x'->'a';
+    # the word-bounded match at offset 3 overlaps it
+    text = b"xa a a ax\n" * 3
+    pat = "a a"
+    p = SearchParams(patterns=(pat.encode(),), whole_word=True,
+                     count_mode=True)
+    got = search_string(p, text).count
+    assert got == 3  # one word-bounded match per repetition
+
+    for extra in (["--no-simd"], ["--algo", "bm"]):
+        out, rc = oracle.run_on_text(text, [*extra, "-c", "-w", pat])
+        assert rc == 0
+        assert oracle.count_from_output(out) == got
+
+    for extra in ([], ["--algo", "kmp"]):
+        out, _ = oracle.run_on_text(text, [*extra, "-c", "-w", pat])
+        assert oracle.count_from_output(out) <= got

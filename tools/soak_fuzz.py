@@ -305,6 +305,18 @@ def string_stdin_batch(seed: int, cases: int) -> int:
                 # patterns (KNOWN_DIVERGENCES #9) — same guard as
                 # test_fuzz_oracle.gen_case: pin the scalar selection
                 flags.append("--no-simd")
+            _WORD = frozenset(
+                b"abcdefghijklmnopqrstuvwxyz"
+                b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+            )
+            if (
+                "-w" in flags
+                and "--no-simd" not in flags
+                and any(c not in _WORD for c in pat)
+            ):
+                # rejected -w candidates consume pattern_len in the
+                # reference's SIMD/KMP engines (KNOWN_DIVERGENCES #11)
+                flags.append("--no-simd")
             args = [*flags, "-s", pat.decode("latin1"),
                     text.decode("latin1")]
             out = io.BytesIO()
