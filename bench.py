@@ -792,14 +792,27 @@ def main():
     n = data.shape[0]
     staged = dispatch.stage(data)
 
-    config1(staged, n, path)
-    if "--all" in sys.argv:
-        config2(staged, n, path)
-        config3(staged, n, path)
-        config4(n, path)
-        config5()
-        config6(staged, n, path)
-        write_bench_all()
+    # --only=3,5 runs just those configs (dev iteration); default is
+    # config 1 (the driver's headline), --all is the full table
+    sel: set = set()
+    for a in sys.argv:
+        if a.startswith("--only="):
+            sel.update(a.split("=", 1)[1].split(","))
+    if not sel or "1" in sel:
+        config1(staged, n, path)
+    if "--all" in sys.argv or sel:
+        if not sel or "2" in sel:
+            config2(staged, n, path)
+        if not sel or "3" in sel:
+            config3(staged, n, path)
+        if not sel or "4" in sel:
+            config4(n, path)
+        if not sel or "5" in sel:
+            config5()
+        if not sel or "6" in sel:
+            config6(staged, n, path)
+        if not sel:
+            write_bench_all()
 
 
 if __name__ == "__main__":

@@ -19,6 +19,20 @@
 #include <string.h>
 #include <unistd.h>
 
+/* Exact per-byte zero flags of a u64: bit 8k+7 set iff byte k == 0.
+ * The borrow-prone classic ((x - ONES) & ~x & HIGH) FALSE-FLAGS byte k
+ * when byte k == 0x01 and byte k-1 == 0x00 (the subtraction borrows
+ * across byte lanes) — e.g. scanning "bcbb" for "bb": the true zero at
+ * byte 0 ('b'^'b') flagged byte 1 ('c'^'b' == 0x01), and the first-byte-
+ * anchored verifiers then accepted "cb" as a match (round-5 soak rig
+ * catch). This carry-less form is exact; it is the same identity the
+ * Pallas kernel uses for its '\n' detect (pallas_swar.py k01). */
+static inline uint64_t krep__zero_bytes(uint64_t x)
+{
+    const uint64_t L7 = 0x7F7F7F7F7F7F7F7FULL;
+    return ~(((x & L7) + L7) | x | L7);
+}
+
 static int krep__flush_fd(int fd, const uint8_t *buf, size_t len)
 {
     size_t off = 0;
@@ -374,10 +388,10 @@ int64_t krep_memchr_short_o_scan(const uint8_t *text, int64_t n,
             uint64_t w;
             memcpy(&w, text + pos, 8);
             uint64_t x = w ^ b0;
-            uint64_t c = (x - ONES) & ~x & HIGH;
+            uint64_t c = krep__zero_bytes(x);
             if (two) {
                 uint64_t y = w ^ b1;
-                c |= (y - ONES) & ~y & HIGH;
+                c |= krep__zero_bytes(y);
             }
             if (!c) {
                 pos += 8;
@@ -455,11 +469,17 @@ void krep_free(void *p) { free(p); }
  * device mask path — one shared postlude, not ten copies (SURVEY.md §3.4).
  */
 
-/* Full verify (bytes 1..m-1 + whole-word) at a first-byte candidate. */
+/* Full verify (byte 0 re-checked defensively + bytes 1..m-1 +
+ * whole-word) at a first-byte candidate. */
 static inline int krep__verify(const uint8_t *text, int64_t n, int64_t pos,
                                const uint8_t *fp, int64_t m,
                                int case_insensitive, int whole_word)
 {
+    uint8_t c0 = text[pos];
+    if (case_insensitive && c0 >= 'A' && c0 <= 'Z')
+        c0 = (uint8_t)(c0 + 32);
+    if (c0 != fp[0])
+        return 0;
     if (m > 1) {
         if (!case_insensitive) {
             /* last-byte filter then memcmp, the BMH verify order
@@ -649,19 +669,19 @@ int64_t krep_literal_scan(const uint8_t *text, int64_t n,
             uint64_t w;
             memcpy(&w, text + pos, 8);
             uint64_t x = w ^ b0;
-            uint64_t c = (x - ONES) & ~x & HIGH;
+            uint64_t c = krep__zero_bytes(x);
             if (two) {
                 uint64_t y = w ^ b1;
-                c |= (y - ONES) & ~y & HIGH;
+                c |= krep__zero_bytes(y);
             }
             if (c && m >= 2 && pos + 9 <= n) {
                 uint64_t v;
                 memcpy(&v, text + pos + 1, 8);
                 uint64_t x2 = v ^ a0;
-                uint64_t c2 = (x2 - ONES) & ~x2 & HIGH;
+                uint64_t c2 = krep__zero_bytes(x2);
                 if (two1) {
                     uint64_t y2 = v ^ a1;
-                    c2 |= (y2 - ONES) & ~y2 & HIGH;
+                    c2 |= krep__zero_bytes(y2);
                 }
                 c &= c2;
             }

@@ -209,10 +209,10 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
         tl_ref = refs[0]
         g_refs = refs[1 : 1 + windows]
         nb_refs = refs[1 + windows : 1 + 2 * windows]
-        len_ref, bm_ref, main_ref, halo_ref, count_ref = refs[
-            1 + 2 * windows : 6 + 2 * windows
-        ]
-        rest = refs[6 + 2 * windows :]
+        len_ref, bm_ref, psel_ref, pc_ref, main_ref, halo_ref, count_ref = (
+            refs[1 + 2 * windows : 8 + 2 * windows]
+        )
+        rest = refs[8 + 2 * windows :]
         if want_mask:
             mask_ref, scratch = rest
         else:
@@ -254,6 +254,21 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
             lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows2, gw), 1)
             phase = r2idx // Kp
             start_limit = tl_ref[1] if has_limit else None
+
+        # phase-selector constants for the MXU-assisted D-stage reduction
+        # (host-built, see scan_count: Mosaic rejects the in-kernel bool
+        # iota construction with a mask relayout error): psel[ph, r] = 1
+        # iff row r belongs to phase ph (rows 4..7 zero). One
+        # (8, n_rows2) @ (n_rows2, gw) int8 dot replaces the VPU
+        # cast-to-i32 + full-matrix row reduction of the hits block — the
+        # kernel's measured bottleneck is this D stage, not the dots, so
+        # moving the reduction onto the MXU (trivial extra MACs) removes
+        # ~1 VPU op per hits element per segment. Row ph of the product
+        # is the per-phase hit count per word (the mask path's anyp), and
+        # its total is the match count. pconst[ph] = packed mask byte of
+        # phase ph (1 << 8*ph; rows 4..7 zero).
+        psel = psel_ref[:]
+        pconst = pc_ref[:]
 
         # block-level word-shift arrays: E[q][r, l] = word r*SEG_WORDS+l+q
         # (aligned rolls/wheres only; row r borrows row r+1's first q words).
@@ -424,25 +439,30 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                     hits = hits & (start < true_len - lens + 1)
                 if has_limit:
                     hits = hits & (start < start_limit)
+            # D-stage reduction on the MXU: one cast-to-i8 per hits
+            # element, then the phase-selector dot collapses the
+            # (n_rows2, gw) block to per-phase hit counts (8, gw) — the
+            # VPU never sweeps the hits block again (see psel above).
+            # (.astype, not a where-select: Mosaic cannot relayout an i1
+            # mask from i32 (8,128) tiling to i8 (32,128) tiling, but the
+            # bool->i8 convert lowers fine — same idiom as the W build.)
+            hits8 = hits.astype(jnp.int8)
+            P4 = jax.lax.dot_general(
+                psel, hits8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                            # (8, gw) int32
+            dcount = dcount + jnp.sum(P4)
             if want_mask or want_lines:
                 # union mask, v1 packed layout: byte p of word w = 1 iff
-                # some pattern starts at byte 4w+p. The match count rides
-                # the same per-phase reduces (sum over lanes of the
-                # per-phase pattern-hit sums == total hits), so the mask/
-                # lines modes skip the separate full-matrix popcount the
-                # count-only path pays — one fewer VPU sweep of the
-                # (n_rows2, gw) hits block per segment.
-                mrow = jnp.zeros((1, SEG_WORDS), jnp.uint32)
-                hi = hits.astype(jnp.int32)
-                for ph in range(4):
-                    anyp = jnp.sum(
-                        hi[ph * Kp : (ph + 1) * Kp], axis=0, keepdims=True
-                    )
-                    mrow = mrow | ((anyp > 0).astype(jnp.uint32) << _U(8 * ph))
-                    dcount = dcount + jnp.sum(anyp)
+                # some pattern starts at byte 4w+p — row ph of P4 is the
+                # per-phase hit count per word; each phase contributes a
+                # disjoint byte, so the packed word is the column SUM of
+                # the per-row selected phase bytes. (reductions stay in
+                # int32 — Mosaic lacks unsigned reduces; the packed flag
+                # bytes fit int32 losslessly)
+                pbit = jnp.where(P4 > 0, pconst, jnp.int32(0))
+                mrow = jnp.sum(pbit, axis=0, keepdims=True).astype(jnp.uint32)
                 mrows.append(mrow)
-            else:
-                dcount = dcount + jnp.sum(hits.astype(jnp.int32))
 
         if want_mask:
             mask_ref[:] = jnp.concatenate(mrows, axis=0)
@@ -588,6 +608,18 @@ def scan_count(
         ]
     )
 
+    # host-built D-stage reduction constants (see _make_kernel): the
+    # phase-selector matrix and the per-phase packed mask byte column
+    Kp_ = n_rows2 // 4
+    psel = jnp.asarray(
+        (np.arange(n_rows2)[None, :] // Kp_ == np.arange(8)[:, None])
+        .astype(np.int8)
+    )
+    pconst = jnp.asarray(
+        np.where(np.arange(8) < 4, 1 << (8 * np.minimum(np.arange(8), 3)), 0)
+        .astype(np.int32)[:, None]
+    )
+
     # constants load whole into VMEM; text = non-overlapping 32-segment
     # blocks + a 1-segment forward halo (the staged H4 zero rows are
     # exactly one extra segment, so the last halo block is in bounds)
@@ -602,6 +634,8 @@ def scan_count(
             *[whole(nb) for nb in nbs],
             whole(lens),
             whole(bitmask),
+            whole(psel),
+            whole(pconst),
             pl.BlockSpec(
                 (sps, SEG_WORDS),
                 lambda i, t: (i, 0),
@@ -657,7 +691,7 @@ def scan_count(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tl, *Gs, *nbs, lens, bitmask, view, view)
+    )(tl, *Gs, *nbs, lens, bitmask, psel, pconst, view, view)
     if want_mask:
         # same flat packed layout as pallas_swar's mask (word-major)
         return outs[0][0], outs[1].reshape(-1)

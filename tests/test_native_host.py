@@ -200,3 +200,36 @@ def test_batch_counts_mt_matches_serial(count_lines, threads):
     )
     assert np.array_equal(serial, mt)
     assert serial.sum() > 0
+
+
+def test_swar_candidate_borrow_false_positive():
+    # regression (round-5 soak rig): the borrow-prone SWAR zero-byte
+    # detect ((x-ONES) & ~x & HIGH) false-flagged byte k when byte k held
+    # 0x01 and byte k-1 was a TRUE zero — 'bcbb' scanning 'bb' flagged
+    # the 'c' (=='b'^0x01) right after the true 'b' hit, and the
+    # first-byte-anchored verify accepted "cb" as a match. Pin the exact
+    # carry-less detect across both native scanners and all three result
+    # modes, at every alignment.
+    for shift in range(9):
+        pad = b"z" * shift
+        t = pad + b"bcbbaa  d"  # needs >= 9 bytes so the pair-AND path runs
+        arr = np.frombuffer(t, np.uint8)
+        want = [i for i in range(len(t) - 1) if t[i : i + 2] == b"bb"]
+        for ci in (False, True):
+            cnt, pos = native.literal_scan(
+                arr, b"bb", ci, False, count_lines=False,
+                track_positions=True,
+            )
+            assert pos.tolist() == want, (shift, ci)
+            assert cnt == len(want)
+        cnt, _ = native.literal_scan(
+            arr, b"bb", False, False, count_lines=True,
+            track_positions=False,
+        )
+        assert cnt == 1  # single line
+    # memchr_short -o walk quirk path uses the same candidate machinery
+    t = b"bcbbaa  d"
+    out = native.memchr_short_o_scan(
+        np.frombuffer(t, np.uint8), b"bb", False, False, None
+    )
+    assert out.tolist() == [2]
