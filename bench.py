@@ -291,11 +291,24 @@ def config2(staged, n, data_path):
         return c
 
     gbps, reps = chained_gbps(run_one, n)
+    # Parity gate on a 32 MiB prefix: the single-threaded reference at
+    # -i -w runs ~1 MB/s on this host (its boundary checks fall off the
+    # SIMD ladder), so a full-corpus oracle run blows the 900 s timeout
+    # (the r5 dev run shipped oracle_unavailable). Count parity on the
+    # prefix exercises the identical kernel route.
+    pfx_bytes = min(n, 32 << 20)
+    pfx_path = data_path + ".pfx32m"
+    if not (os.path.exists(pfx_path)
+            and os.path.getsize(pfx_path) == pfx_bytes):
+        with open(data_path, "rb") as f, open(pfx_path, "wb") as g:
+            g.write(f.read(pfx_bytes))
+    pfx = dispatch.stage(np.memmap(pfx_path, dtype=np.uint8, mode="r"))
     c0, _, _ = dispatch.scan_literal_staged(
-        staged, pattern=b"e", case_sensitive=False, whole_word=True,
+        pfx, pattern=b"e", case_sensitive=False, whole_word=True,
         want_mask=False, want_lines=False,
     )
-    extra = parity_fields(int(c0), ["-c", "-o", "-i", "-w", "e", data_path])
+    extra = parity_fields(int(c0), ["-c", "-o", "-i", "-w", "e", pfx_path])
+    extra["parity_prefix_bytes"] = pfx_bytes
     extra["reps"] = reps
     emit("-i -w single-char match-count scan (config 2)", gbps, extra)
 
@@ -671,7 +684,7 @@ def config5():
     dt = time.perf_counter() - t0
     extra = {"files": out.getvalue().count(b"\n"), "seconds": round(dt, 3),
              "host_breakeven": cal}
-    bin_ = _oracle_bin()
+    bin_, _ = _oracle_bin()
     if bin_:
         import subprocess
 
@@ -818,19 +831,31 @@ def main():
     for a in sys.argv:
         if a.startswith("--only="):
             sel.update(a.split("=", 1)[1].split(","))
+    def guarded(name, fn, *a):
+        """One config's crash must not lose the whole run's artifact
+        (the first r5 --all run died in config5 after 40+ minutes of
+        configs 1-4 and wrote nothing)."""
+        try:
+            fn(*a)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            emit(name, 0.0, {"failed": f"{type(e).__name__}: {e}"})
+
     if not sel or "1" in sel:
         config1(staged, n, path)
     if "--all" in sys.argv or sel:
         if not sel or "2" in sel:
-            config2(staged, n, path)
+            guarded("config 2", config2, staged, n, path)
         if not sel or "3" in sel:
-            config3(staged, n, path)
+            guarded("config 3 family", config3, staged, n, path)
         if not sel or "4" in sel:
-            config4(n, path)
+            guarded("config 4", config4, n, path)
         if not sel or "5" in sel:
-            config5()
+            guarded("config 5", config5)
         if not sel or "6" in sel:
-            config6(staged, n, path)
+            guarded("config 6", config6, staged, n, path)
         if not sel:
             write_bench_all()
 
