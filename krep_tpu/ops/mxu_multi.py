@@ -79,6 +79,14 @@ SEG_PER_STEP = 32         # segment rows per grid step (128 KiB of text)
 # which is the actual bottleneck. Kept as a knob for re-testing on
 # other TPU generations.
 GROUP_SEGS = max(1, int(__import__("os").environ.get("KREP_TPU_MXU_GSEG", "1")))
+# D-stage reduction engine: "auto" routes per kernel shape, "mxu"/"vpu"
+# force one (tools/ab_dstage.py). Measured same-window A/B on v5e, 1 GiB,
+# K=64: the phase-selector dot wins ONLY on the one-window count-only
+# route (3b 12.72 vs 11.37 GB/s); everywhere else the extra (8, n_rows2)
+# dot lands on an already-MXU-bound kernel and the VPU row-reduce wins —
+# two-window 9.75 vs 9.08, boundary(-w) 7.47 vs 6.13, mask/lines 9.30
+# vs 8.59.
+_DSTAGE = __import__("os").environ.get("KREP_TPU_MXU_DSTAGE", "auto")
 MAX_LEN = 13              # p + len <= 16 stream bytes covered by one dot
 MAX_LEN_LONG = 29         # p + len <= 32 via the two-window AND (two dots)
 ROWS = 128                # contraction: 16 byte offsets x 8 bits
@@ -439,30 +447,55 @@ def _make_kernel(n_rows2: int, case_sensitive: bool, strict: bool,
                     hits = hits & (start < true_len - lens + 1)
                 if has_limit:
                     hits = hits & (start < start_limit)
-            # D-stage reduction on the MXU: one cast-to-i8 per hits
-            # element, then the phase-selector dot collapses the
-            # (n_rows2, gw) block to per-phase hit counts (8, gw) — the
-            # VPU never sweeps the hits block again (see psel above).
-            # (.astype, not a where-select: Mosaic cannot relayout an i1
-            # mask from i32 (8,128) tiling to i8 (32,128) tiling, but the
-            # bool->i8 convert lowers fine — same idiom as the W build.)
-            hits8 = hits.astype(jnp.int8)
-            P4 = jax.lax.dot_general(
-                psel, hits8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )                                            # (8, gw) int32
-            dcount = dcount + jnp.sum(P4)
-            if want_mask or want_lines:
-                # union mask, v1 packed layout: byte p of word w = 1 iff
-                # some pattern starts at byte 4w+p — row ph of P4 is the
-                # per-phase hit count per word; each phase contributes a
-                # disjoint byte, so the packed word is the column SUM of
-                # the per-row selected phase bytes. (reductions stay in
-                # int32 — Mosaic lacks unsigned reduces; the packed flag
-                # bytes fit int32 losslessly)
-                pbit = jnp.where(P4 > 0, pconst, jnp.int32(0))
-                mrow = jnp.sum(pbit, axis=0, keepdims=True).astype(jnp.uint32)
-                mrows.append(mrow)
+            dstage_vpu = _DSTAGE == "vpu" or (
+                _DSTAGE == "auto"
+                and (windows == 2 or whole_word or want_mask or want_lines)
+            )
+            if dstage_vpu:
+                # VPU D-stage: cast to i32 and row-reduce per phase (the
+                # pre-r5 form, kept A/B-able — see _DSTAGE_VPU above)
+                hi = hits.astype(jnp.int32)
+                if want_mask or want_lines:
+                    mrow = jnp.zeros((1, gw), jnp.uint32)
+                    for ph in range(4):
+                        anyp = jnp.sum(
+                            hi[ph * Kp : (ph + 1) * Kp], axis=0,
+                            keepdims=True,
+                        )
+                        mrow = mrow | (
+                            (anyp > 0).astype(jnp.uint32) << _U(8 * ph)
+                        )
+                        dcount = dcount + jnp.sum(anyp)
+                    mrows.append(mrow)
+                else:
+                    dcount = dcount + jnp.sum(hi)
+            else:
+                # D-stage reduction on the MXU: one cast-to-i8 per hits
+                # element, then the phase-selector dot collapses the
+                # (n_rows2, gw) block to per-phase hit counts (8, gw) — the
+                # VPU never sweeps the hits block again (see psel above).
+                # (.astype, not a where-select: Mosaic cannot relayout an i1
+                # mask from i32 (8,128) tiling to i8 (32,128) tiling, but the
+                # bool->i8 convert lowers fine — same idiom as the W build.)
+                hits8 = hits.astype(jnp.int8)
+                P4 = jax.lax.dot_general(
+                    psel, hits8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                            # (8, gw) int32
+                dcount = dcount + jnp.sum(P4)
+                if want_mask or want_lines:
+                    # union mask, v1 packed layout: byte p of word w = 1 iff
+                    # some pattern starts at byte 4w+p — row ph of P4 is the
+                    # per-phase hit count per word; each phase contributes a
+                    # disjoint byte, so the packed word is the column SUM of
+                    # the per-row selected phase bytes. (reductions stay in
+                    # int32 — Mosaic lacks unsigned reduces; the packed flag
+                    # bytes fit int32 losslessly)
+                    pbit = jnp.where(P4 > 0, pconst, jnp.int32(0))
+                    mrow = jnp.sum(
+                        pbit, axis=0, keepdims=True
+                    ).astype(jnp.uint32)
+                    mrows.append(mrow)
 
         if want_mask:
             mask_ref[:] = jnp.concatenate(mrows, axis=0)
