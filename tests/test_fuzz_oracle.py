@@ -94,11 +94,17 @@ def gen_case(rng):
     ):
         # a rejected -w candidate still consumes pattern_len in the
         # reference's SIMD and KMP engines, losing overlapping
-        # word-bounded matches (KNOWN_DIVERGENCES #11) — pin the exact
-        # BMH/scalar selection for the oracle comparison
-        if "--no-simd" not in flags:
-            flags.append("--no-simd")
+        # word-bounded matches (KNOWN_DIVERGENCES #11). --no-simd is NOT
+        # enough: auto selection routes repetitive patterns (e.g.
+        # 'a\na\n') to KMP even without SIMD — pin --algo bm, the one
+        # single-pattern engine with the boundary test before the
+        # advance (multi-pattern sets take AC, which ignores --algo)
         flags = ["bm" if f == "kmp" else f for f in flags]
+        if n_pats == 1:
+            if "--algo" not in flags:
+                flags += ["--algo", "bm"]
+        elif "--no-simd" not in flags:
+            flags.append("--no-simd")
     if (
         "-c" in flags and "-o" not in flags
         and "--no-simd" not in flags

@@ -264,3 +264,98 @@ def test_whole_word_rejected_overlap_divergence():
     for extra in ([], ["--algo", "kmp"]):
         out, _ = oracle.run_on_text(text, [*extra, "-c", "-w", pat])
         assert oracle.count_from_output(out) <= got
+
+
+def test_stdin_multiline_default_print_drop_divergence():
+    """KNOWN_DIVERGENCES #12: the reference's stdin/-s search_string path
+    hands the printer AC END-ordered (unsorted) matches (krep.c:2390-2392
+    vs the file path's sort at 3020-3023), and print_matching_items'
+    collect loop (krep.c:880-917) silently consumes any match that starts
+    on an EARLIER line than the line being emitted — so default-print
+    via stdin DROPS a matched line its own -c counts. Pins: (a) our
+    stdin default output has exactly the -c matched-line set (ground
+    truth, emission order), (b) the reference's stdin -c agrees with our
+    line count, (c) the reference's stdin default only ever UNDERcounts
+    (the bug direction), (d) on a FILE target (sorted path) the
+    reference and we agree byte-for-byte."""
+    from clirun import run_cli
+
+    text = b"a dd\nxx ee\n"
+    # 'dd\nxx ee' starts on line 1 and ends on line 2; 'xx' both starts
+    # and ends on line 2 — AC end-order emits 'xx' FIRST, so the longer
+    # match's line-1 start arrives out of order at the printer
+    args = ["-e", "dd\nxx ee", "-e", "xx"]
+
+    got, _, rc = run_cli(args, stdin_bytes=text)
+    assert rc == 0
+    # both matched lines, in the reference's AC emission order
+    assert got == b"xx ee\na dd\n"
+
+    out_c, rc_c = oracle.run(["-c", *args], stdin=text)
+    assert rc_c == 0
+    assert oracle.count_from_output(out_c) == 2  # ref -c counts both
+
+    out_def, rc_def = oracle.run(args, stdin=text)
+    assert rc_def == 0
+    ref_lines = out_def.split(b"\n")[:-1]
+    assert len(ref_lines) <= 2  # the bug only LOSES lines
+    if len(ref_lines) < 2:
+        # current reference binaries drop line 1 exactly as documented
+        assert out_def == b"xx ee\n"
+
+    # file target: the sorted path prints both lines; byte parity holds
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        out_f, rc_f = oracle.run([*args, path])
+        assert rc_f == 0
+        prefix = path.encode() + b":"
+        assert out_f == prefix + b"a dd\n" + prefix + b"xx ee\n"
+        got_f, _, rcf2 = run_cli([*args, path])
+        assert rcf2 == 0
+        assert got_f == out_f
+    finally:
+        os.unlink(path)
+
+
+def test_whole_word_repetitive_kmp_via_nosimd_divergence():
+    """KNOWN_DIVERGENCES #11 (second engine): --no-simd is NOT a safe
+    oracle pin for -w patterns with non-word bytes — auto selection
+    routes REPETITIVE length>=4 patterns to KMP even without SIMD
+    (krep.c:1834+ via is_repetitive_pattern), and KMP consumes
+    pattern_len on a rejected candidate. Pins: (a) our count is ground
+    truth, (b) --algo bm agrees byte-for-byte, (c) --no-simd and
+    --algo kmp only ever UNDERcount (the bug direction)."""
+    # candidate at 0 is word-bounded; candidate at 2 overlaps it. A
+    # rejected candidate precedes a valid overlapped one at offset 4:
+    # 'xa\na\na\n\n' -> candidate 1 rejected (preceded by 'x'),
+    # candidate 3 valid but consumed by KMP's advance
+    text = b"xa\na\na\n\nq\n" + b"a\na\n\nw\n" * 2
+    pat = "a\na\n"
+    W = frozenset(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+    starts = [
+        i for i in range(len(text) - 4 + 1) if text[i : i + 4] == b"a\na\n"
+    ]
+    good = [
+        i for i in starts
+        if (i == 0 or text[i - 1] not in W)
+        and (i + 4 >= len(text) or text[i + 4] not in W)
+    ]
+    truth = len({text.count(b"\n", 0, i) for i in good})
+
+    p = SearchParams(patterns=(pat.encode(),), whole_word=True,
+                     count_mode=True)
+    got = search_string(p, text).count
+    assert got == truth
+
+    out_bm, rc = oracle.run_on_text(text, ["--algo", "bm", "-w", "-c", pat])
+    assert rc == 0
+    assert oracle.count_from_output(out_bm) == got
+
+    for extra in (["--no-simd"], ["--algo", "kmp"]):
+        out, _ = oracle.run_on_text(text, [*extra, "-w", "-c", pat])
+        assert oracle.count_from_output(out) <= got

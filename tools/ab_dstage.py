@@ -88,7 +88,7 @@ def main():
             continue
         print(json.dumps({
             "config": name, "dstage": ds, "gbps": round(gbps, 3),
-            "median": reps["pair_gbps_min"], "reps": reps,
+            "median": reps["pair_gbps_median"], "reps": reps,
         }))
 
 

@@ -255,6 +255,19 @@ def string_stdin_batch(seed: int, cases: int) -> int:
         if rng.random() < 0.5:
             # stdin: reuse the literal generator's full case space
             text, args = fo.gen_case(rng)
+            pat_idx = [i + 1 for i, a in enumerate(args) if a == "-e"]
+            if (
+                "-c" not in args and "-o" not in args
+                and len(pat_idx) > 1
+                and any("\n" in args[i] for i in pat_idx)
+            ):
+                # stdin default print hands the printer UNSORTED AC
+                # end-ordered matches; a '\n'-spanning member's
+                # earlier-line match is silently dropped by the
+                # reference (KNOWN_DIVERGENCES #12) — de-newline the
+                # members for the oracle comparison, like the #10 guard
+                for i in pat_idx:
+                    args[i] = args[i].replace("\n", "a")
             if rng.random() < 0.3:
                 args = ["--color=always", *args]
 
@@ -311,12 +324,13 @@ def string_stdin_batch(seed: int, cases: int) -> int:
             )
             if (
                 "-w" in flags
-                and "--no-simd" not in flags
                 and any(c not in _WORD for c in pat)
             ):
                 # rejected -w candidates consume pattern_len in the
-                # reference's SIMD/KMP engines (KNOWN_DIVERGENCES #11)
-                flags.append("--no-simd")
+                # reference's SIMD/KMP engines (KNOWN_DIVERGENCES #11);
+                # --no-simd still routes repetitive patterns to KMP, so
+                # pin --algo bm (single pattern here)
+                flags += ["--algo", "bm"]
             args = [*flags, "-s", pat.decode("latin1"),
                     text.decode("latin1")]
             out = io.BytesIO()
